@@ -1,0 +1,178 @@
+"""spark-submit entrypoint: build the index, run queries.
+
+North-rule surface: ``spark-submit --py-files engine.zip -m`` style
+invocation on a cluster.  Subcommands:
+
+    build  --input <documents.parquet|webpages dir> --out <index dir>
+    query  --index <index dir> --query "dog cat" [--mode and|or] [-k 20]
+    batch  --index <index dir> --queries <tsv query_id\tquery> --out <runs dir>
+
+The ``build`` output directory layout::
+
+    <out>/index/      term-sharded compressed block postings (parquet)
+    <out>/lexicon/    (term, df, max_tf)
+    <out>/doc_stats/  (doc_id, byte_len, distinct_terms)
+    <out>/stats.json  {total_docs, avg_len, ...build metrics}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.operators import (
+    block_codec as bc,
+    index_build as ib,
+    query_exec as qe,
+)
+
+
+def _spark(args) -> SparkSession:
+    from cs6913_web_search_engines_spark.session import get_spark
+
+    return get_spark(app_name=f"cs6913-{args.cmd}", master=args.master)
+
+
+def cmd_build(args) -> None:
+    spark = _spark(args)
+    cfg = EngineConfig(
+        n_term_shards=args.shards, segment_docs=args.segment_docs
+    )
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    if "doc_id" not in docs.columns:
+        from cs6913_web_search_engines_spark.sources import webpages
+
+        docs = webpages.mint_doc_ids_scalable(webpages.extract_text(docs)
+                                              .withColumnRenamed("extracted", "text"))
+    postings = ib.build_postings(docs)
+    if args.runs:
+        ib.write_runs(postings, os.path.join(args.out, "runs"), cfg,
+                      lineage={"input": args.input})
+        postings = ib.read_runs(spark, os.path.join(args.out, "runs"))
+    doc_stats = ib.build_doc_stats(docs, postings)
+    doc_stats.write.mode("overwrite").parquet(os.path.join(args.out, "doc_stats"))
+    doc_stats = spark.read.parquet(os.path.join(args.out, "doc_stats"))
+    stats = ib.corpus_stats(doc_stats, cfg)
+    lexicon = ib.build_lexicon(postings)
+    lexicon.write.mode("overwrite").parquet(os.path.join(args.out, "lexicon"))
+    bc.write_index(bc.encode_index(postings, cfg), os.path.join(args.out, "index"))
+    elapsed = time.time() - t0
+    n_postings = spark.read.parquet(os.path.join(args.out, "index")).agg(
+        F.sum("n_postings")
+    ).collect()[0][0]
+    stats.update(
+        {
+            "n_postings": int(n_postings),
+            "build_sec": elapsed,
+            "postings_per_sec": n_postings / elapsed,
+            "config": {
+                "n_term_shards": cfg.n_term_shards,
+                "segment_docs": cfg.segment_docs,
+                "postings_per_chunk": cfg.postings_per_chunk,
+                "block_bytes": cfg.block_bytes,
+            },
+        }
+    )
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    print(json.dumps(stats))
+
+
+def _load(spark, index_dir):
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    lexicon = spark.read.parquet(os.path.join(index_dir, "lexicon"))
+    doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    return stats, lexicon, doc_stats
+
+
+def cmd_query(args) -> None:
+    spark = _spark(args)
+    cfg = EngineConfig(top_k=args.k)
+    stats, lexicon, doc_stats = _load(spark, args.index)
+    cfg = EngineConfig(
+        top_k=args.k,
+        n_term_shards=stats["config"]["n_term_shards"],
+        segment_docs=stats["config"]["segment_docs"],
+    )
+    t0 = time.time()
+    res = qe.search_compressed(
+        spark, os.path.join(args.index, "index"), lexicon, doc_stats, stats,
+        {"q": args.query}, cfg, conjunctive=(args.mode == "and"),
+    )
+    rows = res.orderBy("rank").collect()
+    dt = time.time() - t0
+    for r in rows:
+        print(f"DocId: {r['doc_id']}, Score: {r['score']:.4f}, Rank: {r['rank']}")
+    print(f"# {len(rows)} results in {dt:.3f}s", file=sys.stderr)
+
+
+def cmd_batch(args) -> None:
+    spark = _spark(args)
+    stats, lexicon, doc_stats = _load(spark, args.index)
+    cfg = EngineConfig(
+        top_k=args.k,
+        n_term_shards=stats["config"]["n_term_shards"],
+        segment_docs=stats["config"]["segment_docs"],
+    )
+    qdf = spark.read.csv(args.queries, sep="\t",
+                         schema="query_id string, query string")
+    queries = {r["query_id"]: r["query"] for r in qdf.collect()}
+    res = qe.search_compressed(
+        spark, os.path.join(args.index, "index"), lexicon, doc_stats, stats,
+        queries, cfg, conjunctive=(args.mode == "and"),
+    )
+    # 6-col TREC run rows (reference query_bm25.py:42-47)
+    run = res.select(
+        "query_id", F.lit("Q0").alias("q0"), F.col("doc_id").cast("string"),
+        "rank", F.format_number("score", 4).alias("score"),
+        F.lit(args.run_tag).alias("tag"),
+    )
+    run.write.mode("overwrite").csv(args.out, sep="\t")
+    print(f"wrote {res.count()} run rows to {args.out}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="cs6913-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--segment-docs", type=int, default=1 << 20, dest="segment_docs")
+    b.add_argument("--runs", action="store_true",
+                   help="checkpoint posting runs (resumable stage 1)")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--mode", choices=["and", "or"], default="or")
+    q.add_argument("-k", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    t = sub.add_parser("batch")
+    t.add_argument("--index", required=True)
+    t.add_argument("--queries", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--mode", choices=["and", "or"], default="or")
+    t.add_argument("-k", type=int, default=20)
+    t.add_argument("--run-tag", default="cs6913-spark")
+    t.set_defaults(fn=cmd_batch)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Engine configuration.
+
+Mirrors the knobs the reference hard-codes in
+``query_processor/src/config.h`` (postings per chunk = 64, block size
+= 64 KB, top-k, BM25 constants at ``QueryProcessor.cpp:19-21``) plus
+the Spark-native knobs the reference has no analog for (term shards,
+segment size for skew-proof posting-list splitting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 (reference QueryProcessor.cpp:19-21,31-40) ---
+    k1: float = 1.2
+    b: float = 0.75
+    top_k: int = 20  # HW3 config.h:41 (HW2 used 15)
+
+    # "hw3": doc length = distinct-term count (ranking_optimizer/src/
+    # QueryProcessor.cpp:31); "hw2": byte length (query_processor/src/
+    # QueryProcessor.cpp:24).
+    length_norm: str = "hw3"
+
+    # --- index layout (reference config.h:28-31) ---
+    postings_per_chunk: int = 64  # POSTINGS_PER_CHUNK
+    block_bytes: int = 64 * 1024  # BLOCK_SIZE
+
+    # --- Spark-native layout knobs (no reference analog) ---
+    # Number of hash shards the term space is partitioned into.  The
+    # compressed index is written partitionBy("shard") so query-time
+    # term lookups prune to one partition per term.
+    n_term_shards: int = 8
+    # Posting lists are split into independent doc_id-range segments of
+    # this many docIDs *before* the per-term group-by, so a head term
+    # ("the") never concentrates on one reducer: the group key is
+    # (term, doc_id // segment_docs).  Chunks reset their delta base
+    # (reference Lexicon.cpp:143-146) so segments are self-contained.
+    segment_docs: int = 1 << 20
+
+    # Spill/run sizing analog of INDEX_CHUNK_SIZE (config.h:28): number
+    # of shuffle partitions used when writing posting runs.
+    run_partitions: int = 32
+
+    # Deterministic tie-break for equal scores (SURVEY §2.12.4): the
+    # reference heap leaves ties unspecified; we define score DESC,
+    # doc_id ASC everywhere.
+
+    def hw2(self) -> "EngineConfig":
+        return replace(self, length_norm="hw2", top_k=15)
+
+
+DEFAULT = EngineConfig()

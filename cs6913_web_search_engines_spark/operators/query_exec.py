@@ -1,0 +1,150 @@
+"""Top-k BM25 query execution (conjunctive + disjunctive, batch sets).
+
+Spark-first restatement of the reference query core
+(``QueryProcessor::_queryTAAT/_queryDAAT``, SURVEY §3.2):
+
+* disjunctive OR (k-way merge union + score sum, QueryProcessor.cpp:
+  643-700) → ``groupBy(query_id, doc_id).agg(sum(score))``;
+* conjunctive AND (sorted intersection, QueryProcessor.cpp:373-410 /
+  589-634) → the same aggregation with ``HAVING count(*) = n_terms``
+  — one hash aggregate replaces the iterated semi/anti joins, and
+  the reference's min-df-first term ordering (selectivity ordering,
+  :477-487) becomes irrelevant;
+* top-k heap (QueryProcessor.cpp:273-319) → per-query ranking window
+  ``row_number() <= k`` with the deterministic tie-break
+  ``score DESC, doc_id ASC`` (SURVEY §2.12.4);
+* batch query sets run as ONE job: queries-as-DataFrame broadcast
+  joined against the postings, replacing the reference's
+  socket-per-query loop (5.77 s/query, HW3 PDF §4.1).
+
+The scorer is a pure Column expression (JVM codegen); Python appears
+only in the decode UDF when reading the compressed index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
+from cs6913_web_search_engines_spark.functions import tokenizer
+from cs6913_web_search_engines_spark.functions.bm25 import bm25_score
+from cs6913_web_search_engines_spark.operators import block_codec
+
+
+def queries_to_terms(spark: SparkSession, queries: dict[str, str],
+                     mode: str = "hw3") -> DataFrame:
+    """{query_id: raw_query} → (query_id, term, n_terms) via the
+    reference query tokenizer (deduplicated, SURVEY §2.2 F2)."""
+    rows = []
+    for qid, q in queries.items():
+        terms = tokenizer.split_query(q, mode)
+        for t in terms:
+            rows.append((qid, t, len(terms)))
+    return spark.createDataFrame(rows, "query_id string, term string, n_terms int")
+
+
+def score_query_set(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    lexicon: DataFrame,
+    doc_stats: DataFrame,
+    stats: dict,
+    cfg: EngineConfig = DEFAULT,
+    conjunctive: bool = False,
+    broadcast_doc_stats: bool = True,
+) -> DataFrame:
+    """→ (query_id, doc_id, score, rank), rank 1..k per query.
+
+    ``postings`` may be the logical postings table or the decoded
+    output of the compressed index — identical schema by design.
+    ``broadcast_doc_stats`` should be False at 10^12-doc scale where
+    doc_stats exceeds broadcast size; the join then shuffles on
+    doc_id (or uses a bucketed layout).
+    """
+    len_col = "distinct_terms" if cfg.length_norm == "hw3" else "byte_len"
+    qt = query_terms.join(lexicon.select("term", "df"), "term", "left").fillna(
+        0, subset=["df"]
+    )
+    # Query terms are tiny → broadcast them into the postings scan so
+    # the term filter happens map-side with no shuffle of postings.
+    matched = postings.join(F.broadcast(qt), "term")
+    ds = doc_stats.select("doc_id", F.col(len_col).alias("doc_len"))
+    if broadcast_doc_stats:
+        ds = F.broadcast(ds)
+    matched = matched.join(ds, "doc_id")
+    scored = matched.withColumn(
+        "term_score",
+        bm25_score(
+            F.col("tf"), F.col("df"), F.col("doc_len"),
+            int(stats["total_docs"]), float(stats["avg_len"]), cfg,
+        ),
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count("*").alias("n_matched"),
+        F.first("n_terms").alias("n_terms"),
+    )
+    if conjunctive:
+        per_doc = per_doc.filter(F.col("n_matched") == F.col("n_terms"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cfg.top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def search(
+    spark: SparkSession,
+    postings: DataFrame,
+    lexicon: DataFrame,
+    doc_stats: DataFrame,
+    stats: dict,
+    query: str,
+    cfg: EngineConfig = DEFAULT,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Single interactive query (console-loop analog, main.cpp:147-150)."""
+    qt = queries_to_terms(spark, {"q0": query})
+    return score_query_set(
+        postings, qt, lexicon, doc_stats, stats, cfg, conjunctive
+    ).drop("query_id")
+
+
+def search_compressed(
+    spark: SparkSession,
+    index_path: str,
+    lexicon: DataFrame,
+    doc_stats: DataFrame,
+    stats: dict,
+    queries: dict[str, str],
+    cfg: EngineConfig = DEFAULT,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Query the term-sharded compressed index: shard partition pruning
+    + term predicate pushdown → decode UDF → same scorer."""
+    all_terms = sorted(
+        {t for q in queries.values() for t in tokenizer.split_query(q)}
+    )
+    blocks = spark.read.parquet(index_path).filter(
+        block_codec.term_filter(spark, all_terms, cfg)
+    )
+    postings = block_codec.decode_postings(blocks, cfg)
+    qt = queries_to_terms(spark, queries)
+    return score_query_set(postings, qt, lexicon, doc_stats, stats, cfg, conjunctive)
+
+
+def attach_content(results: DataFrame, documents: DataFrame) -> DataFrame:
+    """Content retrieval (QueryProcessor::readDocContent, SURVEY S3/J5):
+    seek-per-hit becomes a join, with the reference's comma-scrub
+    projection (SearchResult.cpp:47)."""
+    return results.join(
+        documents.select(
+            "doc_id", F.regexp_replace("text", ",", " ").alias("content")
+        ),
+        "doc_id",
+        "left",
+    )

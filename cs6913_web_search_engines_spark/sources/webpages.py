@@ -1,0 +1,111 @@
+"""Web-pages corpus: synthesis, extraction, docID minting.
+
+The engine's input is an Iceberg/Parquet table of Common-Crawl-style
+web pages ``(url string, warc_ts timestamp, html binary, text string,
+lang string)``.  In this sandbox we synthesize that table
+deterministically from the driver's ``documents.parquet`` (doc_id,
+text, lang, source, n_chars) — same shape, same content, seedless
+(pure functions of doc_id/text), so Spark and the DuckDB oracle agree
+byte-for-byte.
+
+Extraction invariant (north rule): ``extract_text(html)`` must be
+byte-identical to the page's ``text`` column per url.  The synthetic
+html wraps text in a fixed template and extraction takes the bytes
+between the ``<p>`` markers, shared by engine and oracle.
+
+The reference's docID-assignment role (crawl order + dataset prep,
+``web_crawler.py`` + ``IndexBuilder.cpp:131-156``) is played by
+:func:`mint_doc_ids` — dense 0..N-1 by url order, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Duplicated doc_id inside the page body exercises the extraction
+# boundary; the trailing query+fragment exercise the URL operators
+# (F6/F7/F8 in SURVEY §2.2).
+_URL_SQL = (
+    "concat('https://www.', source, cast(doc_id % 97 as string),"
+    "'.example.nz/docs/', cast(doc_id as string), '.html?session=abc#frag')"
+)
+_HTML_SQL = (
+    "concat('<html><head><title>doc ', cast(doc_id as string),"
+    "'</title></head><body><p>', text, '</p></body></html>')"
+)
+_EXTRACT_RE = "<p>(.*)</p>"
+
+
+def synthesize(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, ...) → web-pages table."""
+    return documents.select(
+        F.expr(_URL_SQL).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("warc_ts"),
+        F.encode(F.expr(_HTML_SQL), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def synthesize_sql(documents_rel: str = "documents") -> str:
+    """DuckDB-SQL mirror of :func:`synthesize` (oracle side).
+
+    DuckDB accepts ``STRING`` as a VARCHAR alias, so the projection
+    strings are shared verbatim with the Spark side.
+    """
+    return f"""
+        SELECT {_URL_SQL} AS url,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts,
+               ENCODE({_HTML_SQL}) AS html,
+               text, lang
+        FROM {documents_rel}
+    """
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Adds ``extracted`` — byte-identical to ``text`` per url."""
+    return pages.withColumn(
+        "extracted", F.regexp_extract(F.decode(F.col("html"), "UTF-8"), _EXTRACT_RE, 1)
+    )
+
+
+EXTRACT_SQL = f"regexp_extract(DECODE(html), '{_EXTRACT_RE}', 1)"
+
+
+def mint_doc_ids(pages: DataFrame) -> DataFrame:
+    """Dense doc_id 0..N-1 by url order (deterministic crawl-order analog).
+
+    A global ``row_number`` window is a single-reducer sort at 10^12
+    rows; use :func:`mint_doc_ids_scalable` for the real pipeline.
+    This exact variant exists for fixtures and oracle parity.
+    """
+    w = Window.orderBy("url")
+    return pages.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+
+
+def mint_doc_ids_scalable(pages: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """Dense doc_id by url order without a global sort.
+
+    Two-pass: range-bucket urls, count per bucket, broadcast the
+    prefix-sum of bucket offsets, then doc_id = bucket_offset +
+    rank-within-bucket.  Each pass is fully parallel; the only global
+    structure is the (tiny) bucket-offset map.
+    """
+    bucketed = pages.repartitionByRange(n_buckets, "url")
+    part = F.spark_partition_id()
+    with_pid = bucketed.withColumn("_pid", part)
+    counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy("url")
+    return (
+        with_pid.withColumn("_rk", F.row_number().over(w) - F.lit(1))
+        .withColumn("doc_id", (offmap[F.col("_pid")] + F.col("_rk")).cast("long"))
+        .drop("_pid", "_rk")
+    )

@@ -1,0 +1,133 @@
+"""Index build: postings vs naive Python, merge-equals-direct,
+resumable runs, compressed codec roundtrip on real data."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.functions.tokenizer import doc_term_freqs
+from cs6913_web_search_engines_spark.operators import (
+    block_codec as bc,
+    index_build as ib,
+)
+
+
+def test_postings_match_naive(built, documents):
+    postings, *_ = built
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in postings.collect()
+    }
+    want = {}
+    for row in documents.select("doc_id", "text").collect():
+        for t, c in doc_term_freqs(row["text"]).items():
+            want[(row["doc_id"], t)] = c
+    assert got == want
+
+
+def test_doc_stats_semantics(built, documents):
+    _, doc_stats, stats, _ = built
+    rows = {r["doc_id"]: r for r in doc_stats.collect()}
+    sample = documents.limit(20).collect()
+    for row in sample:
+        tf = doc_term_freqs(row["text"])
+        r = rows[row["doc_id"]]
+        assert r["distinct_terms"] == len(tf)
+        assert r["byte_len"] == len(row["text"].encode("utf-8"))
+    assert stats["total_docs"] == documents.count()
+
+
+def test_lexicon_df(built):
+    postings, _, _, lexicon = built
+    # df == exact distinct doc count per term (postings unique per
+    # (term, doc) by construction)
+    dfs = {r["term"]: r["df"] for r in lexicon.collect()}
+    check = {
+        r["term"]: r["n"]
+        for r in postings.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert dfs == check
+
+
+def test_merge_equals_direct(built):
+    """Index built via 1 partition == via 16 partitions (the shuffle
+    k-way merge is deterministic in content)."""
+    postings, *_ = built
+    one = set(map(tuple, postings.coalesce(1).collect()))
+    many = set(map(tuple, postings.repartition(16).collect()))
+    assert one == many
+
+
+@pytest.mark.parametrize("segment_docs", [1 << 20, 64])
+def test_compressed_roundtrip(built, segment_docs):
+    postings, *_ = built
+    cfg = EngineConfig(segment_docs=segment_docs, postings_per_chunk=16,
+                       block_bytes=512)
+    enc = bc.encode_index(postings, cfg)
+    dec = bc.decode_postings(enc, cfg)
+    a = set(map(tuple, postings.select("term", "doc_id", "tf").collect()))
+    b = set(map(tuple, dec.select("term", "doc_id", "tf").collect()))
+    assert a == b
+
+
+def test_block_invariants(built):
+    postings, *_ = built
+    cfg = EngineConfig(postings_per_chunk=8, block_bytes=256, segment_docs=1 << 20)
+    rows = bc.encode_index(postings, cfg).collect()
+    assert rows
+    for r in rows:
+        assert r["n_postings"] == sum(r["chunk_counts"])
+        assert all(c <= cfg.postings_per_chunk for c in r["chunk_counts"])
+        assert r["chunk_last_doc_ids"][-1] == r["last_doc_id"]
+        assert r["max_tf"] == max(r["chunk_max_tfs"])
+        assert sorted(r["chunk_last_doc_ids"]) == r["chunk_last_doc_ids"]
+    # block_ids contiguous from 0 per (term, seg)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["term"], r["seg"]), []).append(r["block_id"])
+    for ids in by_key.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_runs_resumable(built, tmp_path_factory):
+    postings, *_ = built
+    path = str(tmp_path_factory.mktemp("runs") / "runs")
+    cfg = EngineConfig(run_partitions=4)
+    m1 = ib.write_runs(postings, path, cfg, lineage={"source": "sf0.001"})
+    assert m1["total_postings"] == postings.count()
+    assert all(b["complete"] for b in m1["buckets"])
+    # Re-run: all buckets complete → append writes nothing new
+    m2 = ib.write_runs(postings, path, cfg)
+    assert m2["total_postings"] == m1["total_postings"]
+    back = ib.read_runs(postings.sparkSession, path)
+    assert back.count() == m1["total_postings"]
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_partial_runs_resume(built, tmp_path_factory):
+    """Kill-between-stages analog: manifest marking only some buckets
+    complete → resume fills in exactly the missing ones."""
+    import json
+    import os
+
+    postings, *_ = built
+    path = str(tmp_path_factory.mktemp("runs2") / "runs")
+    cfg = EngineConfig(run_partitions=4)
+    m1 = ib.write_runs(postings, path, cfg)
+    # Simulate a crash that completed only bucket 0: rewrite manifest,
+    # delete other bucket dirs.
+    keep = m1["buckets"][0]["bucket"]
+    for b in m1["buckets"][1:]:
+        shutil.rmtree(os.path.join(path, f"run={b['bucket']}"))
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump({"buckets": [{"bucket": keep, "complete": True}]}, f)
+    m2 = ib.write_runs(postings, path, cfg)
+    assert m2["total_postings"] == m1["total_postings"]
+    back = set(map(tuple, ib.read_runs(postings.sparkSession, path).collect()))
+    direct = set(map(tuple, postings.select("doc_id", "term", "tf").collect()))
+    assert back == direct
+    shutil.rmtree(path, ignore_errors=True)
