@@ -45,44 +45,16 @@ def cmd_build(args) -> None:
     cfg = EngineConfig(
         n_term_shards=args.shards, segment_docs=args.segment_docs
     )
-    t0 = time.time()
     docs = spark.read.parquet(args.input)
     if "doc_id" not in docs.columns:
         from cs6913_web_search_engines_spark.sources import webpages
 
         docs = webpages.mint_doc_ids_scalable(webpages.extract_text(docs)
                                               .withColumnRenamed("extracted", "text"))
-    postings = ib.build_postings(docs)
-    if args.runs:
-        ib.write_runs(postings, os.path.join(args.out, "runs"), cfg,
-                      lineage={"input": args.input})
-        postings = ib.read_runs(spark, os.path.join(args.out, "runs"))
-    doc_stats = ib.build_doc_stats(docs, postings)
-    doc_stats.write.mode("overwrite").parquet(os.path.join(args.out, "doc_stats"))
-    doc_stats = spark.read.parquet(os.path.join(args.out, "doc_stats"))
-    stats = ib.corpus_stats(doc_stats, cfg)
-    lexicon = ib.build_lexicon(postings)
-    lexicon.write.mode("overwrite").parquet(os.path.join(args.out, "lexicon"))
-    bc.write_index(bc.encode_index(postings, cfg), os.path.join(args.out, "index"))
-    elapsed = time.time() - t0
-    n_postings = spark.read.parquet(os.path.join(args.out, "index")).agg(
-        F.sum("n_postings")
-    ).collect()[0][0]
-    stats.update(
-        {
-            "n_postings": int(n_postings),
-            "build_sec": elapsed,
-            "postings_per_sec": n_postings / elapsed,
-            "config": {
-                "n_term_shards": cfg.n_term_shards,
-                "segment_docs": cfg.segment_docs,
-                "postings_per_chunk": cfg.postings_per_chunk,
-                "block_bytes": cfg.block_bytes,
-            },
-        }
+    stats = ib.build_full(
+        spark, docs, args.out, cfg,
+        lineage={"input": args.input}, checkpoint_runs=args.runs,
     )
-    with open(os.path.join(args.out, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
     print(json.dumps(stats))
 
 

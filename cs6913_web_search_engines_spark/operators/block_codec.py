@@ -152,8 +152,17 @@ def _encode_stream(cfg: EngineConfig):
 
 
 def shard_col(term=None, cfg: EngineConfig = DEFAULT):
+    """Term shard: crc32(term) % n_shards.  CRC32 is chosen because the
+    JVM (F.crc32) and Python (zlib.crc32) implementations agree
+    bit-for-bit, so query-time shard pruning needs no Spark job."""
     term = F.col("term") if term is None else term
-    return F.pmod(F.xxhash64(term), F.lit(cfg.n_term_shards)).cast("int")
+    return F.pmod(F.crc32(F.encode(term, "UTF-8")), F.lit(cfg.n_term_shards)).cast("int")
+
+
+def py_shard(term: str, cfg: EngineConfig = DEFAULT) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % cfg.n_term_shards
 
 
 def encode_index(postings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -228,13 +237,7 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
 def term_filter(spark: SparkSession, terms: list[str],
                 cfg: EngineConfig = DEFAULT):
     """Predicate that prunes both shard partitions and term row groups."""
-    shards = sorted(set(compute_shards(spark, terms, cfg).values()))
+    if not terms:
+        return F.lit(False)
+    shards = sorted({py_shard(t, cfg) for t in terms})
     return F.col("shard").isin(shards) & F.col("term").isin(terms)
-
-
-def compute_shards(spark: SparkSession, terms: list[str],
-                   cfg: EngineConfig = DEFAULT) -> dict[str, int]:
-    """xxhash64 shard of each term, computed JVM-side for exactness."""
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select("term", shard_col(cfg=cfg).alias("shard")).collect()
-    return {r["term"]: r["shard"] for r in rows}

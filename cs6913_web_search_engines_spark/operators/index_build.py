@@ -167,3 +167,73 @@ def write_runs(
 
 def read_runs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("doc_id", "term", "tf")
+
+
+# ---------------------------------------------------------------------------
+# Full build pipeline (cli + bench entrypoint)
+# ---------------------------------------------------------------------------
+
+def build_full(
+    spark: SparkSession,
+    docs: DataFrame,
+    out: str,
+    cfg: EngineConfig = DEFAULT,
+    lineage: dict | None = None,
+    checkpoint_runs: bool = True,
+) -> dict:
+    """Tokenize-once build: corpus → runs checkpoint → {index, lexicon,
+    doc_stats, stats.json} under ``out``.
+
+    The posting runs are the only pass that touches text; every
+    downstream structure derives from the runs parquet (re-read, not
+    recomputed), mirroring the reference's staged files
+    (``main.cpp:118-135``) and keeping the build resumable.  The
+    lexicon is aggregated from the *encoded blocks* (sum of
+    n_postings per term) so it costs one scan of the compact index
+    instead of another postings shuffle.
+    """
+    from cs6913_web_search_engines_spark.operators import block_codec as bc
+
+    t0 = time.time()
+    postings = build_postings(docs)
+    if checkpoint_runs:
+        run_manifest = write_runs(
+            postings, os.path.join(out, "runs"), cfg, lineage=lineage
+        )
+        postings = read_runs(spark, os.path.join(out, "runs"))
+    else:
+        run_manifest = None
+        postings = postings.cache()
+
+    bc.write_index(bc.encode_index(postings, cfg), os.path.join(out, "index"))
+    blocks = spark.read.parquet(os.path.join(out, "index"))
+    lexicon = blocks.groupBy("term").agg(
+        F.sum("n_postings").alias("df"), F.max("max_tf").alias("max_tf")
+    )
+    lexicon.write.mode("overwrite").parquet(os.path.join(out, "lexicon"))
+
+    doc_stats = build_doc_stats(docs, postings)
+    doc_stats.write.mode("overwrite").parquet(os.path.join(out, "doc_stats"))
+    doc_stats = spark.read.parquet(os.path.join(out, "doc_stats"))
+    stats = corpus_stats(doc_stats, cfg)
+    elapsed = time.time() - t0
+
+    n_postings = int(blocks.agg(F.sum("n_postings")).collect()[0][0] or 0)
+    stats.update(
+        {
+            "n_postings": n_postings,
+            "build_sec": elapsed,
+            "postings_per_sec": n_postings / elapsed if elapsed else None,
+            "runs": run_manifest is not None,
+            "config": {
+                "n_term_shards": cfg.n_term_shards,
+                "segment_docs": cfg.segment_docs,
+                "postings_per_chunk": cfg.postings_per_chunk,
+                "block_bytes": cfg.block_bytes,
+                "length_norm": cfg.length_norm,
+            },
+        }
+    )
+    with open(os.path.join(out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats
