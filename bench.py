@@ -22,11 +22,8 @@ import time
 from pyspark.sql import functions as F
 
 from cs6913_web_search_engines_spark.config import EngineConfig
-from cs6913_web_search_engines_spark.operators import (
-    block_codec as bc,
-    index_build as ib,
-    query_exec as qe,
-)
+from cs6913_web_search_engines_spark.engine import QueryEngine
+from cs6913_web_search_engines_spark.operators import index_build as ib
 from cs6913_web_search_engines_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,14 +65,16 @@ def main() -> None:
                           lineage={"source": SF_DIR, "replicate": REPLICATE})
     t_build = time.time() - t0
     n_postings = stats["n_postings"]
-    doc_stats = spark.read.parquet(f"{OUT}/doc_stats")
-    lexicon = spark.read.parquet(f"{OUT}/lexicon")
+
+    # Preload (reference main.cpp:99-108 analog): lexicon + doc_stats
+    # cached once; queries then use the block-max pruned fast path.
+    t0 = time.time()
+    eng = QueryEngine(spark, OUT, cfg)
+    t_load = time.time() - t0
 
     # batch query set through the compressed index (one job)
     t0 = time.time()
-    res = qe.search_compressed(
-        spark, f"{OUT}/index", lexicon, doc_stats, stats, BATCH_QUERIES, cfg
-    )
+    res = eng.search(BATCH_QUERIES)
     n_res = res.count()
     t_batch = time.time() - t0
 
@@ -83,20 +82,18 @@ def main() -> None:
     lat = []
     for _ in range(5):
         t0 = time.time()
-        qe.search_compressed(
-            spark, f"{OUT}/index", lexicon, doc_stats, stats,
-            {"q": SINGLE_QUERY}, cfg,
-        ).collect()
+        eng.search({"q": SINGLE_QUERY}).collect()
         lat.append(time.time() - t0)
     p50 = statistics.median(lat)
 
-    total = t_build + t_batch + sum(lat)
+    total = t_build + t_load + t_batch + sum(lat)
     out = {
         "metric": "index-build + bm25-query wall time (sf docs x replicate)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {
             "build_index": round(t_build, 3),
+            "engine_preload": round(t_load, 3),
             "query_batch8": round(t_batch, 3),
             "query_single_p50": round(p50, 3),
         },

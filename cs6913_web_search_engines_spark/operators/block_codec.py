@@ -194,12 +194,13 @@ def write_index(blocks: DataFrame, path: str) -> None:
 DECODED_SCHEMA = "term string, doc_id long, tf int"
 
 
-def _decode_stream(cfg: EngineConfig):
+def _decode_stream(cfg: EngineConfig, extra_cols: tuple[str, ...] = ()):
     chunk = cfg.postings_per_chunk
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             terms: list[str] = []
+            extras: dict[str, list] = {c: [] for c in extra_cols}
             docs: list[np.ndarray] = []
             tfs: list[np.ndarray] = []
             for row in pdf.itertuples(index=False):
@@ -208,13 +209,19 @@ def _decode_stream(cfg: EngineConfig):
                 d = varbyte.delta_decode(gaps, chunk)
                 t = varbyte.decode(bytes(row.tfs), n)
                 terms.append(row.term)
+                for c in extra_cols:
+                    extras[c].append(getattr(row, c))
                 docs.append(d)
                 tfs.append(t)
             if not terms:
-                yield pd.DataFrame({"term": [], "doc_id": [], "tf": []})
+                yield pd.DataFrame(
+                    {**{c: [] for c in extra_cols},
+                     "term": [], "doc_id": [], "tf": []})
                 continue
             counts = [d.size for d in docs]
             yield pd.DataFrame({
+                **{c: np.repeat(np.array(extras[c], dtype=object), counts)
+                   for c in extra_cols},
                 "term": np.repeat(np.array(terms, dtype=object), counts),
                 "doc_id": np.concatenate(docs),
                 "tf": np.concatenate(tfs).astype(np.int32),
@@ -223,11 +230,17 @@ def _decode_stream(cfg: EngineConfig):
     return fn
 
 
-def decode_postings(blocks: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def decode_postings(blocks: DataFrame, cfg: EngineConfig = DEFAULT,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Block rows → (term, doc_id, tf).  Works on any filtered subset;
-    segments/blocks decode independently (absolute chunk-leading docID)."""
-    cols = blocks.select("term", "n_postings", "doc_gaps", "tfs")
-    return cols.mapInPandas(_decode_stream(cfg), DECODED_SCHEMA)
+    segments/blocks decode independently (absolute chunk-leading docID).
+
+    ``extra_cols`` are carried through row-wise (e.g. a ``query_id``
+    tag so per-query block subsets stay per-query after decode).
+    """
+    cols = blocks.select(*extra_cols, "term", "n_postings", "doc_gaps", "tfs")
+    schema = "".join(f"{c} string, " for c in extra_cols) + DECODED_SCHEMA
+    return cols.mapInPandas(_decode_stream(cfg, extra_cols), schema)
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:

@@ -83,8 +83,17 @@ def corpus_stats(doc_stats: DataFrame, cfg: EngineConfig = DEFAULT) -> dict:
     row = doc_stats.agg(
         F.count("*").alias("total_docs"),
         F.avg(F.col(len_col).cast("double")).alias("avg_len"),
+        F.min(len_col).alias("min_len"),
+        F.max(len_col).alias("max_len"),
     ).collect()[0]
-    return {"total_docs": row["total_docs"], "avg_len": float(row["avg_len"])}
+    return {
+        "total_docs": row["total_docs"],
+        "avg_len": float(row["avg_len"]),
+        # doc-length range: tightens block-max score upper bounds
+        # (operators/pruning.py) — no reference analog.
+        "min_len": int(row["min_len"]),
+        "max_len": int(row["max_len"]),
+    }
 
 
 def build_lexicon(postings: DataFrame) -> DataFrame:

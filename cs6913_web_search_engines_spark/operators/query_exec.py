@@ -63,12 +63,18 @@ def score_query_set(
     doc_id (or uses a bucketed layout).
     """
     len_col = "distinct_terms" if cfg.length_norm == "hw3" else "byte_len"
-    qt = query_terms.join(lexicon.select("term", "df"), "term", "left").fillna(
-        0, subset=["df"]
-    )
+    if "df" in query_terms.columns:  # caller already attached df
+        qt = query_terms
+    else:
+        qt = query_terms.join(
+            lexicon.select("term", "df"), "term", "left"
+        ).fillna(0, subset=["df"])
     # Query terms are tiny → broadcast them into the postings scan so
     # the term filter happens map-side with no shuffle of postings.
-    matched = postings.join(F.broadcast(qt), "term")
+    # Postings pre-tagged with query_id (the pruned path decodes
+    # per-query block subsets) join per query instead.
+    join_key = ["query_id", "term"] if "query_id" in postings.columns else "term"
+    matched = postings.join(F.broadcast(qt), join_key)
     ds = doc_stats.select("doc_id", F.col(len_col).alias("doc_len"))
     if broadcast_doc_stats:
         ds = F.broadcast(ds)

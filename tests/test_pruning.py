@@ -1,0 +1,101 @@
+"""Block-max pruned search must be rank-identical to the exhaustive
+compressed path (and therefore to the oracle), while decoding fewer
+blocks.  Small segment_docs forces many segments so pruning has
+something to skip."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.operators import (
+    block_codec as bc,
+    index_build as ib,
+    pruning,
+    query_exec as qe,
+)
+
+QUERIES = {
+    "q1": "data fast join",
+    "q2": "the query window",   # head terms (possible negative idf)
+    "q3": "spark",
+    "q4": "nosuchterm data",
+    "q5": "zzz qqq",            # nothing matches
+    "q6": "merge sort stream",
+}
+
+
+@pytest.fixture(scope="module")
+def compressed(spark, built, tmp_path_factory):
+    postings, doc_stats, stats, lexicon = built
+    cfg = EngineConfig(segment_docs=64, n_term_shards=4)
+    path = str(tmp_path_factory.mktemp("pidx") / "index")
+    bc.write_index(bc.encode_index(postings, cfg), path)
+    return path, cfg, postings, doc_stats, stats, lexicon
+
+
+def _canon(rows):
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"]))
+    ]
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_pruned_rank_identity(spark, compressed, conjunctive):
+    path, cfg, postings, doc_stats, stats, lexicon = compressed
+    got = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, QUERIES, cfg,
+        conjunctive=conjunctive, seed_segs=2,
+    ).collect()
+    want = qe.search_compressed(
+        spark, path, lexicon, doc_stats, stats, QUERIES, cfg,
+        conjunctive=conjunctive,
+    ).collect()
+    assert _canon(got) == _canon(want)
+
+
+def test_pruned_with_tiny_k(spark, compressed):
+    """Small k → high threshold → aggressive pruning; still identical."""
+    path, cfg0, postings, doc_stats, stats, lexicon = compressed
+    cfg = EngineConfig(segment_docs=64, n_term_shards=4, top_k=3)
+    got = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, QUERIES, cfg, seed_segs=1,
+    ).collect()
+    want = qe.search_compressed(
+        spark, path, lexicon, doc_stats, stats, QUERIES, cfg,
+    ).collect()
+    assert _canon(got) == _canon(want)
+
+
+def test_upper_bound_is_sound(spark, compressed):
+    """Every actual BM25 term contribution must be ≤ its block's ub."""
+    path, cfg, postings, doc_stats, stats, lexicon = compressed
+    blocks = spark.read.parquet(path)
+    lex = lexicon.select("term", "df")
+    meta = blocks.join(lex, "term").withColumn(
+        "ub",
+        pruning.block_upper_bound(
+            cfg, stats["total_docs"], stats["avg_len"],
+            stats.get("min_len", 1), stats.get("max_len", 1 << 30),
+        ),
+    )
+    decoded = bc.decode_postings(blocks, cfg)
+    from cs6913_web_search_engines_spark.functions.bm25 import bm25_score
+    scored = (
+        decoded.join(lex, "term")
+        .join(doc_stats.select("doc_id", "distinct_terms"), "doc_id")
+        .withColumn(
+            "contrib",
+            bm25_score(F.col("tf"), F.col("df"), F.col("distinct_terms"),
+                       stats["total_docs"], stats["avg_len"], cfg),
+        )
+    )
+    per_term_max = scored.groupBy("term").agg(F.max("contrib").alias("mx"))
+    per_term_ub = meta.groupBy("term").agg(F.max("ub").alias("ub"))
+    bad = (
+        per_term_max.join(per_term_ub, "term")
+        .filter(F.col("mx") > F.col("ub") + 1e-9)
+        .count()
+    )
+    assert bad == 0
