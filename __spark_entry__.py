@@ -16,19 +16,29 @@ pinned by tests/test_tokenizer.py golden cases instead.
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.functions import tokenizer
 from cs6913_web_search_engines_spark.functions.bm25 import bm25_sql
 from cs6913_web_search_engines_spark.operators import (
     block_codec as bc,
+    dedup,
+    evalmetrics as em,
     index_build as ib,
+    multimodal as mm,
     query_exec as qe,
+    rerank,
+    similarity as sim,
+    text_analysis as ta,
+    weblog,
 )
 from cs6913_web_search_engines_spark.sources import webpages
+from cs6913_web_search_engines_spark.streaming import incremental as si
 
 CFG = EngineConfig()
 FLAGSHIP_QUERY = "data fast join"
@@ -192,6 +202,83 @@ WHERE rank <= {CFG.top_k}
 """
 
 
+# --- training-data pipeline operators (text analysis / dedup / ANN) --------
+
+NEARDUP_T = 0.35      # embedding-cosine near-dup threshold (data-calibrated)
+JACCARD_T = 0.2       # shingle-Jaccard thresholds for the synthetic corpus
+ANN_QUERIES, ANN_K = 8, 10
+
+
+def _with_dups(docs: DataFrame) -> DataFrame:
+    """Deterministically duplicate every 10th doc (offset ids) so the
+    exact-dedup check is non-trivial on the synthetic corpus."""
+    extra = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    return docs.select("doc_id", "text").unionByName(extra.select("doc_id", "text"))
+
+
+_DUPS_SQL = ("(SELECT doc_id, text FROM documents UNION ALL "
+             "SELECT doc_id + 10000000 AS doc_id, text FROM documents "
+             "WHERE doc_id % 10 = 0)")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, postings, doc_stats, stats, lexicon = _built(spark, sf_dir)
+    return rerank.bm25_rerank(
+        spark, postings, lexicon, doc_stats, stats, _emb(spark, sf_dir),
+        BATCH_QUERIES, CFG, topn=50, topk=10,
+    )
+
+
+def _q_trec_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, postings, doc_stats, stats, lexicon = _built(spark, sf_dir)
+    qt = qe.queries_to_terms(spark, BATCH_QUERIES)
+    run = qe.score_query_set(postings, qt, lexicon, doc_stats, stats, CFG)
+    qrels = em.synth_qrels(docs, list(BATCH_QUERIES))
+    return em.trec_metrics(run, qrels, k=10)
+
+
+def _trec_oracle() -> str:
+    run_cte = f"""{_POSTINGS_CTE},
+q(query_id, term) AS (VALUES
+    ('q0','data'),('q0','fast'),('q0','join'),
+    ('q1','the'),('q1','query'),('q1','window'),
+    ('q2','merge'),('q2','sort'),('q2','stream')),
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           SUM({bm25_sql("p.tf", "l.df", "d.distinct_terms",
+                         "s.total_docs", "s.avg_len", CFG)}) AS score
+    FROM postings p
+    JOIN q USING (term)
+    JOIN lexicon l ON l.term = p.term
+    JOIN doc_stats d ON d.doc_id = p.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.query_id, p.doc_id),
+run AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM scored)
+    WHERE rank <= {CFG.top_k})"""
+    qrels_cte = f"qrels AS ({em.synth_qrels_sql(list(BATCH_QUERIES))})"
+    return em.trec_metrics_sql(run_cte, qrels_cte, k=10)
+
+
+def _q_streaming_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="stream_idx_")
+    si.run_incremental_build(spark, f"{sf_dir}/documents.parquet", out, CFG)
+    return spark.read.parquet(f"{out}/lexicon").select("term", "df", "max_tf")
+
+
+_PAGES_REL = webpages.synthesize_sql("documents")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch disjunctive top-k BM25 over sf0.001."""
     return _q_bm25_batch(spark, "/root/testdata/sf0.001")
@@ -199,6 +286,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- core engine (north rule) ---
         "postings": _q_postings,
         "doc_stats": _q_doc_stats,
         "corpus_stats": _q_corpus_stats,
@@ -208,16 +296,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": _q_bm25_batch,
         "bm25_compressed": _q_bm25_compressed,
         "webpages_extract": _q_webpages_extract,
+        "streaming_lexicon": _q_streaming_lexicon,
+        # --- text analysis ---
+        "token_counts": lambda s, d: ta.token_counts(_docs(s, d)),
+        "quality_scores": lambda s, d: ta.quality_scores(_docs(s, d)),
+        "lang_id": lambda s, d: ta.lang_id(_docs(s, d)),
+        "fingerprints": lambda s, d: ta.fingerprints(_docs(s, d)),
+        # --- deduplication ---
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(_with_dups(_docs(s, d))),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), threshold=JACCARD_T),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
+            _docs(s, d), threshold=JACCARD_T),
+        "dedup_simhash": lambda s, d: dedup.simhash_pairs(
+            ib.build_postings(_docs(s, d)), max_hamming=10),
+        "embedding_neardup": lambda s, d: sim.neardup_pairs(_emb(s, d), NEARDUP_T),
+        # --- similarity search ---
+        "ann_bruteforce": lambda s, d: sim.brute_force_topk(_emb(s, d), ANN_QUERIES, ANN_K),
+        "ann_ivf": lambda s, d: sim.ivf_topk(_emb(s, d), ANN_QUERIES, ANN_K),
+        # --- rerank + evaluation ---
+        "bm25_rerank": _q_bm25_rerank,
+        "trec_metrics": _q_trec_metrics,
+        # --- crawl analytics ---
+        "url_features": lambda s, d: weblog.url_features(
+            webpages.synthesize(_docs(s, d))),
+        "domain_stats": lambda s, d: weblog.domain_stats(
+            webpages.synthesize(_docs(s, d))),
+        "crawl_priority": lambda s, d: weblog.crawl_priority(
+            webpages.synthesize(_docs(s, d))),
+        # --- multimodal ---
+        "media_metadata": lambda s, d: mm.media_metadata(
+            mm.synthesize_media(_docs(s, d))),
+        "media_features": lambda s, d: mm.extract_features(
+            mm.synthesize_media(_docs(s, d))),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     terms = FLAGSHIP_QUERY.split()
+    lexicon_sql = f"WITH {_POSTINGS_CTE} SELECT term, df, max_tf FROM lexicon"
+    rerank_terms = {q: tokenizer.split_query(BATCH_QUERIES[q]) for q in BATCH_QUERIES}
     return {
         "postings": f"WITH {_POSTINGS_CTE} SELECT doc_id, term, tf FROM postings",
         "doc_stats": f"WITH {_POSTINGS_CTE} SELECT doc_id, byte_len, distinct_terms FROM doc_stats",
         "corpus_stats": f"WITH {_POSTINGS_CTE} SELECT total_docs, avg_len FROM stats",
-        "lexicon": f"WITH {_POSTINGS_CTE} SELECT term, df, max_tf FROM lexicon",
+        "lexicon": lexicon_sql,
         "bm25_disjunctive": _bm25_oracle(terms, False, CFG.top_k),
         "bm25_conjunctive": _bm25_oracle(terms, True, CFG.top_k),
         "bm25_batch": _BATCH_ORACLE,
@@ -226,4 +349,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, regexp_extract(DECODE(html), '<p>(.*)</p>', 1) AS extracted, lang
             FROM ({webpages.synthesize_sql("documents")})
         """,
+        "streaming_lexicon": lexicon_sql,
+        "token_counts": ta.token_counts_sql(),
+        "quality_scores": ta.quality_scores_sql(),
+        "lang_id": ta.lang_id_sql(),
+        "fingerprints": ta.fingerprints_sql(),
+        "dedup_exact": dedup.exact_duplicates_sql(_DUPS_SQL),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(threshold=JACCARD_T),
+        "dedup_minhash_lsh": dedup.minhash_lsh_sql(threshold=JACCARD_T),
+        "dedup_simhash": dedup.simhash_sql(_POSTINGS_CTE, max_hamming=10),
+        "embedding_neardup": sim.neardup_sql(NEARDUP_T),
+        "ann_bruteforce": sim.brute_force_sql(ANN_QUERIES, ANN_K),
+        "ann_ivf": sim.ivf_topk_sql(ANN_QUERIES, ANN_K),
+        "bm25_rerank": rerank.bm25_rerank_sql(
+            _POSTINGS_CTE, rerank_terms, CFG, topn=50, topk=10),
+        "trec_metrics": _trec_oracle(),
+        "url_features": weblog.url_features_sql(_PAGES_REL),
+        "domain_stats": weblog.domain_stats_sql(_PAGES_REL),
+        "crawl_priority": weblog.crawl_priority_sql(_PAGES_REL),
+        "media_metadata": mm.synthesize_media_sql(),
+        "media_features": mm.extract_features_sql(),
     }

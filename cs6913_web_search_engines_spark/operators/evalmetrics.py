@@ -1,0 +1,123 @@
+"""TREC-style IR evaluation metrics as DataFrame aggregations.
+
+The reference delegates MAP / MRR / NDCG@k / Recall@k to pytrec_eval
+over run + qrels TSVs (``ranking_optimizer/src/ranking-optimizer/
+trec_eval.py:40-94``, SURVEY §2.8 M6).  Here the metrics are window +
+aggregate expressions over the run DataFrame — one shuffle on
+query_id, entirely JVM-side, so evaluating a million-query run is one
+job instead of a driver-side loop.
+
+Definitions (matching pytrec_eval on binary relevance):
+  RR      = 1 / rank of the first relevant hit (0 if none)
+  AP      = Σ_relevant-hits P@rank / R,  R = |relevant in qrels|
+  NDCG@k  = DCG@k / IDCG@k,  DCG = Σ_hits≤k 1/log2(rank+1),
+            IDCG = Σ_{i=1..min(R,k)} 1/log2(i+1)
+  Recall@k = |relevant hits ≤ k| / R
+
+Qrels in this sandbox are synthesized deterministically
+(rel(q, d) = 1 iff hash60(q||'#'||d) % QREL_MOD == 0) so the DuckDB
+oracle reproduces them exactly; with real qrels the operator is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cs6913_web_search_engines_spark.functions import hashing
+
+QREL_MOD = 13
+
+
+def synth_qrels(documents: DataFrame, query_ids: list[str]) -> DataFrame:
+    """(query_id, doc_id, rel=1) — deterministic binary qrels."""
+    spark = documents.sparkSession
+    qids = spark.createDataFrame([(q,) for q in query_ids], "query_id string")
+    key = F.concat_ws("#", F.col("query_id"), F.col("doc_id").cast("string"))
+    return (
+        documents.select("doc_id").crossJoin(F.broadcast(qids))
+        .filter(hashing.hash60_col(key) % QREL_MOD == 0)
+        .select("query_id", "doc_id", F.lit(1).alias("rel"))
+    )
+
+
+def synth_qrels_sql(query_ids: list[str], docs: str = "documents") -> str:
+    vals = ", ".join(f"('{q}')" for q in sorted(query_ids))
+    key = "query_id || '#' || CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT query_id, doc_id, 1 AS rel
+FROM {docs} CROSS JOIN (SELECT * FROM (VALUES {vals}) t(query_id))
+WHERE {hashing.hash60_sql(key)} % {QREL_MOD} = 0
+"""
+
+
+def trec_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """run(query_id, doc_id, rank) × qrels → per-query
+    (query_id, n_rel, rr, ap, ndcg, recall), rounded to 6 dp.
+
+    Queries present in the run but with zero qrels get NULL metrics
+    (pytrec_eval drops them; we surface them explicitly).
+    """
+    r_tot = qrels.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    hits = run.join(qrels.select("query_id", "doc_id", "rel"),
+                    ["query_id", "doc_id"], "left").fillna(0, subset=["rel"])
+    w = Window.partitionBy("query_id").orderBy("rank")
+    hits = hits.withColumn("cum_rel", F.sum("rel").over(w))
+    per_q = hits.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("rank"))
+              .otherwise(0.0)).alias("ap_num"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= k),
+                     1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)).alias("dcg"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= k), 1)
+              .otherwise(0)).alias(f"hits_at_k"),
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, least(n_rel, {k})), 0D, "
+        "(acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return (
+        per_q.join(r_tot, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("int").alias("n_rel"),
+            F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias("rr"),
+            F.when(F.col("n_rel") > 0,
+                   F.round(F.col("ap_num") / F.col("n_rel"), 6)).alias("ap"),
+            F.when(F.col("n_rel") > 0, F.round(F.col("dcg") / idcg, 6)).alias("ndcg"),
+            F.when(F.col("n_rel") > 0,
+                   F.round(F.col("hits_at_k") / F.col("n_rel"), 6)).alias("recall"),
+        )
+    )
+
+
+def trec_metrics_sql(run_cte: str, qrels_cte: str, k: int = 10) -> str:
+    """DuckDB oracle over CTEs named ``run`` (query_id, doc_id, rank)
+    and ``qrels`` (query_id, doc_id, rel)."""
+    return f"""
+WITH {run_cte},
+{qrels_cte},
+r_tot AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id),
+hits AS (
+    SELECT r.query_id, r.doc_id, r.rank, COALESCE(q.rel, 0) AS rel,
+           SUM(COALESCE(q.rel, 0)) OVER (
+               PARTITION BY r.query_id ORDER BY r.rank) AS cum_rel
+    FROM run r LEFT JOIN qrels q USING (query_id, doc_id)),
+per_q AS (
+    SELECT query_id,
+           MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+           SUM(CASE WHEN rel = 1 THEN cum_rel / rank ELSE 0.0 END) AS ap_num,
+           SUM(CASE WHEN rel = 1 AND rank <= {k}
+                    THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
+           SUM(CASE WHEN rel = 1 AND rank <= {k} THEN 1 ELSE 0 END) AS hits_at_k
+    FROM hits GROUP BY query_id)
+SELECT p.query_id,
+       CAST(COALESCE(t.n_rel, 0) AS INT) AS n_rel,
+       ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS rr,
+       CASE WHEN t.n_rel > 0 THEN ROUND(ap_num / t.n_rel, 6) END AS ap,
+       CASE WHEN t.n_rel > 0 THEN ROUND(dcg / list_sum(
+           [1.0 / log2(i + 1) for i in range(1, least(t.n_rel, {k}) + 1)]), 6)
+       END AS ndcg,
+       CASE WHEN t.n_rel > 0 THEN ROUND(hits_at_k / t.n_rel::DOUBLE, 6) END AS recall
+FROM per_q p LEFT JOIN r_tot t USING (query_id)
+"""

@@ -1,0 +1,170 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video next to
+text.  The Spark-side contract is: payloads are opaque ``binary``
+columns with typed metadata structs; decode / feature-extraction run
+as Arrow-batched ``mapInPandas`` kernels so bytes stream through
+vectorized batches, never row-at-a-time Python.  The reference has no
+media path (its final project encodes text only, SURVEY §2.10) —
+this module supplies the missing modality plumbing.
+
+The container has no image/audio libraries, so the *real* decode is a
+clearly-marked stub (`decode_media` raises NotImplementedError unless
+PIL is importable); everything Spark-owns — schema, partitioning,
+UDF signature, batch shape, deterministic byte-level features — is
+real and oracle-checked.  Media tables are synthesized
+deterministically from ``documents`` (payload = UTF-8 bytes of the
+text), so the DuckDB oracle can recompute every feature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+KINDS = ("image", "audio", "video")
+MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+FRAME_BYTES = 64  # synthetic bytes-per-frame for n_frames derivation
+
+_KIND_SQL = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+_MIME_SQL = ("CASE doc_id % 3 WHEN 0 THEN 'image/png' "
+             "WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END")
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """documents → (media_id, kind, payload binary, meta struct).
+
+    meta = (mime, byte_len, width, height) with deterministic fake
+    dimensions — the schema a WARC/tar sidecar loader would produce.
+    """
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_KIND_SQL).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.expr(_MIME_SQL).alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("byte_len"),
+            (16 + F.col("doc_id") % 32).cast("int").alias("width"),
+            (16 + F.col("doc_id") % 24).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def synthesize_media_sql(docs: str = "documents") -> str:
+    """Flat oracle projection (DuckDB structs hash differently, so the
+    oracle compares the flattened meta columns)."""
+    return f"""
+SELECT doc_id AS media_id,
+       {_KIND_SQL} AS kind,
+       {_MIME_SQL} AS mime,
+       CAST(octet_length(ENCODE(text)) AS INT) AS byte_len,
+       CAST(16 + doc_id % 32 AS INT) AS width,
+       CAST(16 + doc_id % 24 AS INT) AS height
+FROM {docs}
+"""
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata projection (flattened) — column pruning means the
+    binary payload is never read from parquet for this query."""
+    return media.select(
+        "media_id", "kind",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+# --- feature extraction (Arrow-batched pandas kernel) -----------------------
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, mean_byte double, "
+    "n_frames int, nib_hist array<int>"
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per-payload byte statistics.
+
+    Vectorized per batch with numpy over the raw buffers; the same
+    arithmetic is expressible in the DuckDB oracle over the source
+    text, which pins the kernel's correctness.
+    """
+    for pdf in batches:
+        out = []
+        for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            hist = np.bincount(b >> 4, minlength=16).astype("int32")
+            out.append(
+                (
+                    mid,
+                    kind,
+                    int(b.size),
+                    round(float(b.mean()) if b.size else 0.0, 6),
+                    int(b.size // FRAME_BYTES + 1),
+                    hist.tolist(),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["media_id", "kind", "n_bytes", "mean_byte",
+                     "n_frames", "nib_hist"],
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """(media_id, kind, n_bytes, mean_byte, n_frames, nib_hist) via an
+    Arrow-batched kernel over the binary payload column."""
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _feature_batches, FEATURE_SCHEMA
+    )
+
+
+def extract_features_sql(docs: str = "documents") -> str:
+    """Oracle: recompute the byte features from the source text (the
+    payload is its UTF-8 encoding; corpus text is ASCII)."""
+    chars = "[ascii(c) for c in string_split(text, '')]"
+    hist = (f"[CAST(len(list_filter({chars}, a -> a // 16 = i)) AS INT) "
+            f"for i in range(0, 16)]")
+    return f"""
+SELECT doc_id AS media_id,
+       {_KIND_SQL} AS kind,
+       CAST(length(text) AS INT) AS n_bytes,
+       ROUND(CASE WHEN length(text) > 0
+                  THEN list_sum({chars}) / length(text)::DOUBLE
+                  ELSE 0.0 END, 6) AS mean_byte,
+       CAST(length(text) // {FRAME_BYTES} + 1 AS INT) AS n_frames,
+       {hist} AS nib_hist
+FROM {docs}
+"""
+
+
+# --- the genuinely-external decode: explicit stub ---------------------------
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode payloads to pixel/sample arrays.
+
+    Requires an image/audio codec library; this container ships none,
+    so this is a STUB by design: the Spark plumbing (batch iterator,
+    schema, partition passthrough) is exactly what a real decoder
+    plugs into — replace ``_decode`` with PIL/soundfile/av calls.
+    """
+    try:  # pragma: no cover - never available in this container
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode needs codec libraries (PIL/soundfile/av) that are "
+            "not installed in this environment; Spark plumbing is in "
+            "extract_features, which this stub mirrors"
+        ) from exc
+
+    def _decode(batches):  # pragma: no cover
+        for pdf in batches:
+            yield pdf
+
+    return media.mapInPandas(_decode, media.schema)

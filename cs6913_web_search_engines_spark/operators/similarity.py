@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns: brute-force + IVF ANN.
+
+Scale-path additions beyond the reference (SURVEY §2.10 inventories
+the reference's faiss HNSW retrieval; graph ANN is out of Spark's
+model, so the distributed formulation is):
+
+* **brute-force top-k** — the exactness baseline: broadcast the query
+  vectors against the embeddings scan, cosine as a JVM fold
+  expression (zip_with + aggregate, whole-stage codegen — no Python),
+  per-query ranking window.  One scan, no shuffle of the big side
+  except the final per-query top-k (TakeOrdered-sized).
+* **IVF-Flat** — the scale path: a fixed set of C centroid rows
+  partitions the vector space into cells (assignment = argmax cosine,
+  one broadcast join); a query probes only its ``nprobe`` nearest
+  cells, turning the scan into a partition-pruned fraction ≈
+  nprobe/C of the corpus.  With the assignment written
+  ``partitionBy(centroid_id)``, the probe is literal partition
+  pruning at 10^12 scale.  Recall is exact whenever the true
+  neighbors live in probed cells (guaranteed here by using the same
+  deterministic assignment in the oracle).
+* **near-dup pairs** — embedding-cosine near-duplicate detection for
+  dedup pipelines; exact all-pairs baseline with the IVF-cell
+  blocking as the scale variant (pairs within a cell only).
+
+Cosine is computed as a *sequential left fold in double* on both
+engines — verified bit-identical between Spark's ``aggregate`` and
+DuckDB's ``list_sum`` over a comprehension — so rankings (and the
+driver's value hashes, after round(6)) agree exactly.
+
+Centroids are the first ``n_centroids`` vectors by vec_id: a
+deterministic k-means++-free seeding that keeps the oracle
+SQL-expressible; swapping in trained centroids changes recall, not
+the operator shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# --- cosine as identical fold arithmetic on both engines -------------------
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """Spark SQL expression: cosine(a, b) over array<float> columns,
+    computed left-to-right in double."""
+    dot = (f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+           f"CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    na = (f"aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * "
+          f"CAST(x AS DOUBLE))")
+    nb = (f"aggregate({b}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * "
+          f"CAST(x AS DOUBLE))")
+    return f"({dot}) / sqrt(({na}) * ({nb}))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB equivalent of :func:`cosine_expr` (same fold order)."""
+    dot = (f"list_sum([CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE) "
+           f"for i in range(1, len({a}) + 1)])")
+    na = f"list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {a}])"
+    nb = f"list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {b}])"
+    return f"({dot}) / sqrt(({na}) * ({nb}))"
+
+
+# --- brute-force -----------------------------------------------------------
+
+
+def brute_force_topk(embeddings: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """(query_id, vec_id, sim, rank) — exact cosine top-k of every
+    corpus vector for each of the first ``n_queries`` vectors (self
+    excluded).  Query side is broadcast; corpus side never shuffles
+    before the top-k."""
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    sim = F.expr(cosine_expr("qv", "embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        embeddings.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_sql(n_queries: int, k: int, emb: str = "embeddings") -> str:
+    cos = cosine_sql("q.embedding", "e.embedding")
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           ROUND({cos}, 6) AS sim
+    FROM {emb} q JOIN {emb} e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries})
+SELECT query_id, vec_id, sim, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+    FROM scored)
+WHERE rank <= {k}
+"""
+
+
+# --- IVF-Flat --------------------------------------------------------------
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """(vec_id, centroid_id) — each vector assigned to its max-cosine
+    centroid (ties → smallest centroid_id).  The centroid set is tiny
+    → broadcast; this is one scan of the corpus."""
+    cents = F.broadcast(
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+    )
+    sim = F.expr(cosine_expr("cv", "embedding"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),
+                                             F.col("centroid_id").asc())
+    return (
+        embeddings.crossJoin(cents)
+        .select("vec_id", "centroid_id", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(query_id, vec_id, sim, rank) — IVF-Flat ANN: each query scores
+    only vectors assigned to its ``nprobe`` nearest centroids."""
+    assign = ivf_assign(embeddings, n_centroids)
+    q = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    cents = F.broadcast(
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
+                                                F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qv", "centroid_id",
+                F.expr(cosine_expr("cv", "qv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    # cell membership join prunes the corpus to probed cells
+    members = assign.join(embeddings, "vec_id")
+    sim = F.expr(cosine_expr("qv", "embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        F.broadcast(probes).join(members, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_sql(
+    n_queries: int,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    emb: str = "embeddings",
+) -> str:
+    return f"""
+WITH assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   {cosine_sql("c.embedding", "e.embedding")} DESC,
+                   c.vec_id ASC) AS rn
+        FROM {emb} e JOIN {emb} c ON c.vec_id < {n_centroids})
+    WHERE rn = 1),
+probes AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   {cosine_sql("c.embedding", "q.embedding")} DESC,
+                   c.vec_id ASC) AS rn
+        FROM {emb} q JOIN {emb} c ON c.vec_id < {n_centroids}
+        WHERE q.vec_id < {n_queries})
+    WHERE rn <= {nprobe}),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           ROUND({cosine_sql("q.embedding", "e.embedding")}, 6) AS sim
+    FROM probes p
+    JOIN assign a ON a.centroid_id = p.centroid_id
+    JOIN {emb} e ON e.vec_id = a.vec_id
+    JOIN {emb} q ON q.vec_id = p.query_id
+    WHERE a.vec_id <> p.query_id)
+SELECT query_id, vec_id, sim, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+    FROM scored)
+WHERE rank <= {k}
+"""
+
+
+# --- near-duplicate pairs --------------------------------------------------
+
+
+def neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(vec_a, vec_b, sim) — all pairs with cosine ≥ threshold
+    (vec_a < vec_b).  Exact baseline; at scale, block by IVF cell
+    (join :func:`ivf_assign` to itself on centroid_id) so only
+    same-cell pairs are scored."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = F.round(F.expr(cosine_expr("ea", "eb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def neardup_sql(threshold: float = 0.9, emb: str = "embeddings") -> str:
+    cos = f"ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6)"
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS sim
+FROM {emb} a JOIN {emb} b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""

@@ -1,0 +1,195 @@
+"""Crawl-output analytics: URL ops, per-domain stats, priority scoring.
+
+The reference crawler (``web_crawler/web_crawler.py``) keeps its
+state in lock-guarded dicts and computes priorities imperatively;
+the analytics over that state map to plain DataFrame ops (SURVEY
+§1.7, §2.2 F6-F9, §2.3 A9, §2.8 M5).  Live HTTP stays out of scope —
+the input is the synthesized web-pages table (sources/webpages.py).
+
+All string surgery uses regexes shared verbatim between Spark SQL and
+DuckDB, and the priority bucket chains are one CASE-expression string
+evaluated by both engines, so the oracle agrees exactly.
+
+Scale shape: everything here is scan → narrow projections → one
+groupBy(domain) (plus one groupBy(second_last) broadcast back) — the
+classic two-level rollup; no skew risk beyond domain popularity,
+which AQE handles (domains are many and shallow compared to terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cs6913_web_search_engines_spark.functions import hashing
+
+# web_crawler.py:112-124 — extension blacklist (joined to one regex).
+BLACKLIST_EXT = (
+    "jpg|jpeg|png|gif|bmp|svg|pdf|doc|docx|xls|xlsx|ppt|txt|zip|rar|tar|gz|7z|bz2"
+    "|mp3|wav|ogg|aac|flac|mp4|avi|mov|mkv|webm|exe|bin|dll|msi|sh|iso|css|js"
+    "|json|xml|rss|ico|ttf|woff|woff2|eot|swf|flv|fla|php|aspx|cgi|py|pl|rb|jsp"
+    "|dat|log|bak"
+)
+# web_crawler.py:126-130 — common second-last domains.
+SL_WHITELIST = ("ac", "ai", "biz", "co", "com", "cri", "edu", "govt", "health",
+                "info", "int", "io", "mil", "net", "org", "tech", "xyz")
+
+# Shared column SQL (valid in both Spark SQL and DuckDB):
+_NORM = "regexp_replace(url, '[\\?#].*$', '')"                 # F6 web_crawler.py:542-556
+_HOST = "regexp_extract(url, '^[a-z]+://([^/\\?#]+)', 1)"      # F8 web_crawler.py:163-170
+_PATH = "regexp_extract(url, '^[a-z]+://[^/\\?#]+([^\\?#]*)', 1)"
+# F7 web_crawler.py:559-584: '//' + lower(host)-www. + path-rstrip-/
+_MIN = (
+    f"concat('//', regexp_replace(lower({_HOST}), '^www\\.', ''), "
+    f"regexp_replace({_PATH}, '/+$', ''))"
+)
+
+
+def _sl_sql(host_expr: str) -> str:
+    # second-last label: 'example.co.nz' → 'co' (web_crawler.py:187-196)
+    return f"regexp_extract({host_expr}, '([^\\.]+)\\.[^\\.]+$', 1)"
+
+
+def url_features(pages: DataFrame) -> DataFrame:
+    """(url, url_norm, url_min, domain, second_last, is_valid) — the
+    reference's URL toolkit as one narrow projection."""
+    valid = (
+        F.expr(f"{_HOST}").endswith(".nz")
+        & ~F.lower("url").rlike(f"\\.({BLACKLIST_EXT})$")
+    )
+    return pages.select(
+        "url",
+        F.expr(_NORM).alias("url_norm"),
+        F.expr(_MIN).alias("url_min"),
+        F.expr(_HOST).alias("domain"),
+        F.expr(_sl_sql(_HOST)).alias("second_last"),
+        valid.cast("boolean").alias("is_valid"),
+    )
+
+
+def url_features_sql(pages_rel: str) -> str:
+    return f"""
+SELECT url,
+       {_NORM} AS url_norm,
+       {_MIN} AS url_min,
+       {_HOST} AS domain,
+       {_sl_sql(_HOST)} AS second_last,
+       ({_HOST} LIKE '%.nz')
+           AND NOT regexp_matches(lower(url), '\\.({BLACKLIST_EXT})$') AS is_valid
+FROM ({pages_rel})
+"""
+
+
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """Per-domain crawl-log rollup (A9, web_crawler.py:799-853):
+    page count, total/avg page bytes, first/last fetch time."""
+    return (
+        pages.select(
+            F.expr(_HOST).alias("domain"),
+            F.octet_length("html").alias("nbytes"),
+            "warc_ts",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("int").alias("n_pages"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.round(F.avg("nbytes"), 6).alias("avg_bytes"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
+
+
+def domain_stats_sql(pages_rel: str) -> str:
+    return f"""
+SELECT {_HOST} AS domain,
+       CAST(COUNT(*) AS INT) AS n_pages,
+       SUM(octet_length(html)) AS total_bytes,
+       ROUND(AVG(octet_length(html)), 6) AS avg_bytes,
+       MIN(warc_ts) AS first_ts,
+       MAX(warc_ts) AS last_ts
+FROM ({pages_rel})
+GROUP BY 1
+"""
+
+
+# --- priority scoring (M5) --------------------------------------------------
+# Bucket chains transcribed from web_crawler.py:213-328; weighted sum
+# 47*domain + 13*in_degree + 29*second_last at web_crawler.py:330-341.
+
+_DOMAIN_PRI = """CASE
+    WHEN {c} = 0 THEN 1 WHEN {c} = 1 THEN 2 WHEN {c} = 2 THEN 3
+    WHEN {c} <= 5 THEN 4 WHEN {c} <= 10 THEN 5 WHEN {c} <= 100 THEN 6
+    WHEN {c} <= 1000 THEN 7 WHEN {c} <= 10000 THEN 8
+    WHEN {c} <= 1000000 THEN 9 ELSE 10 END"""
+
+_INDEG_PRI = """CASE
+    WHEN {c} = 0 THEN 10 WHEN {c} = 1 THEN 9 WHEN {c} = 2 THEN 8
+    WHEN {c} <= 5 THEN 7 WHEN {c} <= 10 THEN 6 WHEN {c} <= 20 THEN 5
+    WHEN {c} <= 50 THEN 4 WHEN {c} <= 500 THEN 3 WHEN {c} <= 8000 THEN 2
+    ELSE 1 END"""
+
+_SL_PRI_WHITE = """CASE
+    WHEN {c} = 0 THEN 1 WHEN {c} <= 5 THEN 2 WHEN {c} <= 20 THEN 3
+    WHEN {c} <= 50 THEN 4 WHEN {c} <= 200 THEN 5 WHEN {c} <= 500 THEN 6
+    WHEN {c} <= 1000 THEN 7 WHEN {c} <= 10000 THEN 8
+    WHEN {c} <= 100000 THEN 9 ELSE 10 END"""
+
+_SL_PRI_OTHER = """CASE
+    WHEN {c} = 0 THEN 2 WHEN {c} <= 3 THEN 3 WHEN {c} <= 6 THEN 4
+    WHEN {c} <= 15 THEN 5 WHEN {c} <= 50 THEN 6 WHEN {c} <= 600 THEN 8
+    WHEN {c} <= 10000 THEN 9 ELSE 10 END"""
+
+
+def _priority_exprs() -> list[str]:
+    """Shared select-expressions over columns (domain, second_last,
+    enqueue_count, in_degree, sl_count) — identical in Spark SQL and
+    DuckDB."""
+    white = ", ".join(f"'{w}'" for w in SL_WHITELIST)
+    dp = _DOMAIN_PRI.format(c="enqueue_count")
+    ip = _INDEG_PRI.format(c="in_degree")
+    sp = (f"CASE WHEN second_last IN ({white}) "
+          f"THEN {_SL_PRI_WHITE.format(c='sl_count')} "
+          f"ELSE {_SL_PRI_OTHER.format(c='sl_count')} END")
+    return [
+        "domain", "second_last", "enqueue_count", "in_degree", "sl_count",
+        f"CAST({dp} AS INT) AS domain_pri",
+        f"CAST({ip} AS INT) AS in_degree_pri",
+        f"CAST({sp} AS INT) AS second_last_pri",
+        f"CAST(({dp}) * 47 + ({ip}) * 13 + ({sp}) * 29 AS INT) AS final_priority",
+    ]
+
+
+def crawl_priority(pages: DataFrame) -> DataFrame:
+    """Per-domain frontier priority (M5).  enqueue_count = pages seen
+    for the domain − 1 (first sight enqueues at count 0,
+    web_crawler.py:172-185); in_degree is synthesized deterministically
+    (hash60(domain) % 100 — no link graph in the batch table);
+    sl_count = pages sharing the second-last label."""
+    base = (
+        pages.select(F.expr(_HOST).alias("domain"))
+        .groupBy("domain")
+        .agg((F.count("*") - 1).cast("long").alias("enqueue_count"))
+        .withColumn("second_last", F.expr(_sl_sql("domain")))
+        .withColumn("in_degree", hashing.hash60_col(F.col("domain")) % 100)
+    )
+    sl = base.groupBy("second_last").agg(
+        (F.sum("enqueue_count") + F.count("*")).alias("sl_count")
+    )
+    d = base.join(F.broadcast(sl), "second_last")
+    return d.selectExpr(*_priority_exprs())
+
+
+def crawl_priority_sql(pages_rel: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT domain, enqueue_count,
+           {_sl_sql("domain")} AS second_last,
+           {hashing.hash60_sql("domain")} % 100 AS in_degree
+    FROM (SELECT {_HOST} AS domain, COUNT(*) - 1 AS enqueue_count
+          FROM ({pages_rel}) GROUP BY 1)),
+sl AS (
+    SELECT second_last, SUM(enqueue_count) + COUNT(*) AS sl_count
+    FROM base GROUP BY 1),
+d AS (SELECT b.*, sl.sl_count FROM base b JOIN sl USING (second_last))
+SELECT {", ".join(_priority_exprs())} FROM d
+"""

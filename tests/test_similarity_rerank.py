@@ -1,0 +1,121 @@
+"""Similarity search, rerank pipeline, and TREC-metric semantics
+against numpy/pure-Python oracles at sf0.001."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.operators import (
+    evalmetrics as em,
+    index_build as ib,
+    query_exec as qe,
+    rerank,
+    similarity as sim,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.zeros((len(rows), len(rows[0]["embedding"])), dtype=np.float64)
+    for r in rows:
+        m[r["vec_id"]] = r["embedding"]
+    return m
+
+
+def _np_topk(vecs, qid, k):
+    sims = vecs @ vecs[qid] / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qid])
+    )
+    sims[qid] = -np.inf
+    order = sorted(range(len(sims)), key=lambda i: (-round(sims[i], 6), i))
+    return order[:k]
+
+
+def test_brute_force_matches_numpy(emb, vecs):
+    got = sim.brute_force_topk(emb, n_queries=4, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in range(4):
+        ids = [v for _, v in sorted(by_q[qid])]
+        assert ids == _np_topk(vecs, qid, 10), f"query {qid}"
+
+
+def test_ivf_subset_of_probed_cells(emb):
+    assign = {r["vec_id"]: r["centroid_id"]
+              for r in sim.ivf_assign(emb, 16).collect()}
+    got = sim.ivf_topk(emb, n_queries=4, k=10, n_centroids=16, nprobe=4).collect()
+    assert len({r["query_id"] for r in got}) == 4
+    for r in got:
+        assert r["vec_id"] in assign
+
+
+def test_ivf_recall_against_brute_force(emb, vecs):
+    got = sim.ivf_topk(emb, n_queries=4, k=10, n_centroids=16, nprobe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(by_q.get(q, set()) & set(_np_topk(vecs, q, 10))) / 10
+        for q in range(4)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_neardup_pairs_ordered_and_thresholded(emb):
+    rows = sim.neardup_pairs(emb, threshold=0.3).collect()
+    assert rows, "threshold 0.3 should produce pairs at sf0.001"
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["sim"] >= 0.3
+
+
+def test_rerank_topk_is_bm25_candidate_subset(spark, documents, built, emb):
+    postings, doc_stats, stats, lexicon = built
+    cfg = EngineConfig()
+    queries = {"q0": "data fast join"}
+    res = rerank.bm25_rerank(
+        spark, postings, lexicon, doc_stats, stats, emb, queries, cfg,
+        topn=30, topk=5,
+    ).collect()
+    assert 0 < len(res) <= 5
+    qt = qe.queries_to_terms(spark, queries)
+    from dataclasses import replace
+    cands = {r["doc_id"] for r in qe.score_query_set(
+        postings, qt, lexicon, doc_stats, stats, replace(cfg, top_k=30)
+    ).collect()}
+    sims = [r["sim"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+    for r in res:
+        assert r["doc_id"] in cands
+
+
+def test_trec_metrics_hand_case(spark):
+    # 1 query, ranks 1..4, relevant docs {1, 3, 99}; doc 99 never retrieved.
+    run = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3), ("q", 4, 4)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 1), ("q", 3, 1), ("q", 99, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    m = em.trec_metrics(run, qrels, k=10).collect()[0]
+    assert m["n_rel"] == 3
+    assert m["rr"] == 1.0
+    assert m["ap"] == round((1 / 1 + 2 / 3) / 3, 6)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    assert m["ndcg"] == round(dcg / idcg, 6)
+    assert m["recall"] == round(2 / 3, 6)

@@ -1,0 +1,66 @@
+"""Streaming incremental build ≡ batch build; multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.operators import (
+    index_build as ib,
+    multimodal as mm,
+)
+from cs6913_web_search_engines_spark.streaming import incremental as si
+
+
+def test_incremental_build_equals_batch(spark, documents, tmp_path):
+    # Split the corpus into 4 parquet files → 4 micro-batches with
+    # maxFilesPerTrigger=1; the accumulated runs must produce the
+    # identical lexicon to the one-shot batch build.
+    src = str(tmp_path / "drops")
+    documents.repartition(4).write.parquet(src)
+    out = str(tmp_path / "idx")
+    stats = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert stats["n_batches"] == 4
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple, ib.build_lexicon(ib.build_postings(documents)).collect()))
+    assert got == want
+
+
+def test_streaming_checkpoint_resume_is_idempotent(spark, documents, tmp_path):
+    # Re-running with the same checkpoint dir must not duplicate runs
+    # (exactly-once micro-batch appends).
+    src = str(tmp_path / "drops")
+    documents.repartition(2).write.parquet(src)
+    out = str(tmp_path / "idx")
+    s1 = si.run_incremental_build(spark, src, out, EngineConfig())
+    s2 = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert s1["n_postings"] == s2["n_postings"]
+    assert s2["n_batches"] == s1["n_batches"]
+
+
+def test_media_features_match_numpy(spark, documents):
+    media = mm.synthesize_media(documents.limit(20))
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    for row in documents.limit(20).collect():
+        b = np.frombuffer(row["text"].encode(), dtype=np.uint8)
+        f = feats[row["doc_id"]]
+        assert f["n_bytes"] == b.size
+        assert f["nib_hist"] == np.bincount(b >> 4, minlength=16).tolist()
+        assert f["n_frames"] == b.size // mm.FRAME_BYTES + 1
+        assert abs(f["mean_byte"] - b.mean()) < 1e-6
+
+
+def test_media_metadata_prunes_payload_column(spark, documents, tmp_path):
+    # Reading metadata must not scan the binary payload: the parquet
+    # ReadSchema should exclude it (column pruning).
+    from cs6913_web_search_engines_spark.plans import checks
+
+    path = str(tmp_path / "media")
+    mm.synthesize_media(documents).write.parquet(path)
+    cols = checks.read_schema_columns(mm.media_metadata(spark.read.parquet(path)))
+    assert cols and "payload" not in cols
+
+
+def test_decode_media_is_stubbed(spark, documents):
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(mm.synthesize_media(documents.limit(1)))
