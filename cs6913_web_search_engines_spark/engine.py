@@ -22,13 +22,19 @@ from cs6913_web_search_engines_spark.operators import pruning, query_exec
 class QueryEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  cfg: EngineConfig = DEFAULT, cache: bool = True,
-                 broadcast_doc_stats: bool = True):
+                 broadcast_doc_stats: bool | None = None):
         self.spark = spark
         self.index_path = os.path.join(index_dir, "index")
         self.cfg = cfg
-        self.broadcast_doc_stats = broadcast_doc_stats
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
+        if broadcast_doc_stats is None:
+            # a broadcast doc_stats is a driver collect + per-executor
+            # copy — a win only while the page table is genuinely
+            # small; beyond that the scorer must shuffle-join on
+            # doc_id (the 10^12-doc regime uses a bucketed layout)
+            broadcast_doc_stats = self.stats["total_docs"] <= 2_000_000
+        self.broadcast_doc_stats = broadcast_doc_stats
         self.lexicon = spark.read.parquet(os.path.join(index_dir, "lexicon"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         if cache:
@@ -44,12 +50,24 @@ class QueryEngine:
 
         ``pruned=None`` auto-selects: the block-max pruned path costs
         two decode passes plus threshold joins, which only pays for
-        itself when the corpus spans many segments (the 10^12-doc
-        regime has ~10^6); small corpora answer faster exhaustively.
+        itself when the candidate posting volume is large (head terms
+        / the 10^12-doc regime); small candidate sets answer faster
+        exhaustively.  The estimate is a Σdf lookup against the cached
+        lexicon — the reference's driver-side lexicon probe
+        (QueryProcessor.cpp:578-582) put to planner use.
         """
         if pruned is None:
-            n_segs = self.stats["total_docs"] / max(self.cfg.segment_docs, 1)
-            pruned = n_segs >= 64
+            from cs6913_web_search_engines_spark.functions import tokenizer
+            from pyspark.sql import functions as F
+
+            terms = sorted({t for q in queries.values()
+                            for t in tokenizer.split_query(q)})
+            sum_df = (
+                self.lexicon.filter(F.col("term").isin(terms))
+                .agg(F.sum("df")).collect()[0][0] or 0
+            )
+            avg_candidates = sum_df / max(len(queries), 1)
+            pruned = avg_candidates >= 5_000_000
         if pruned:
             return pruning.search_pruned(
                 self.spark, self.index_path, self.lexicon, self.doc_stats,
@@ -60,4 +78,5 @@ class QueryEngine:
         return query_exec.search_compressed(
             self.spark, self.index_path, self.lexicon, self.doc_stats,
             self.stats, queries, self.cfg, conjunctive=conjunctive,
+            broadcast_doc_stats=self.broadcast_doc_stats,
         )

@@ -23,11 +23,11 @@ from __future__ import annotations
 import numpy as np
 
 
-def encode(values: np.ndarray) -> bytes:
-    """VarByte-encode a 1-D array of unsigned ints (vectorized)."""
+def _encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """VarByte-encode to (byte array, per-value byte counts)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # Number of 7-bit groups per value (>=1 so 0 encodes as 0x00).
     nbits = np.maximum(64 - _clz64(v), 1)
     ngroups = (nbits + 6) // 7
@@ -45,7 +45,31 @@ def encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         last = ngroups[mask] == j + 1
         out[idx] = chunk.astype(np.uint8) | np.where(last, 0, 0x80).astype(np.uint8)
+    return out, ngroups
+
+
+def encode(values: np.ndarray) -> bytes:
+    """VarByte-encode a 1-D array of unsigned ints (vectorized)."""
+    out, _ = _encode_arr(values)
     return out.tobytes()
+
+
+def encode_chunked(values: np.ndarray, chunk: int) -> tuple[bytes, np.ndarray]:
+    """One vectorized encode of the whole array → (stream bytes,
+    per-chunk byte sizes).
+
+    VarByte is a per-value code, so the stream is byte-identical to
+    concatenating per-chunk :func:`encode` calls — but one call
+    amortizes the numpy overhead over the entire posting list instead
+    of paying it per 64-value chunk (the block-encode hot path).
+    """
+    out, ngroups = _encode_arr(values)
+    n = int(np.asarray(values).size)
+    if n == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    starts = np.arange(0, n, chunk)
+    sizes = np.add.reduceat(ngroups, starts)
+    return out.tobytes(), sizes.astype(np.int64)
 
 
 def _clz64(v: np.ndarray) -> np.ndarray:
@@ -99,12 +123,15 @@ def delta_encode(doc_ids: np.ndarray, chunk: int) -> np.ndarray:
 
 
 def delta_decode(gaps: np.ndarray, chunk: int) -> np.ndarray:
-    """Inverse of :func:`delta_encode` (per-chunk cumulative sum)."""
+    """Inverse of :func:`delta_encode` — one global cumsum with the
+    pre-chunk prefix subtracted per chunk (no per-chunk Python loop)."""
     g = np.asarray(gaps, dtype=np.int64)
     n = g.size
     if n == 0:
         return g
-    out = np.empty_like(g)
-    for s in range(0, n, chunk):
-        np.cumsum(g[s:s + chunk], out=out[s:s + chunk])
-    return out
+    c = np.cumsum(g)
+    starts = np.arange(0, n, chunk)
+    prev = np.zeros(starts.size, dtype=np.int64)
+    prev[1:] = c[starts[1:] - 1]
+    counts = np.diff(np.append(starts, n))
+    return c - np.repeat(prev, counts)

@@ -53,55 +53,166 @@ INDEX_SCHEMA = (
 
 def _encode_group(term: str, seg: int, doc_ids: np.ndarray,
                   tfs: np.ndarray, cfg: EngineConfig) -> list[dict]:
-    """Encode one (term, seg) posting run into block rows."""
+    """Encode one (term, seg) posting run into block rows.
+
+    One vectorized VarByte pass over the whole run (per-chunk sizes
+    via ``reduceat``) — the former per-64-posting ``encode`` calls
+    dominated build CPU at ~100 µs numpy overhead each.
+    """
     chunk = cfg.postings_per_chunk
     n = doc_ids.size
     gaps = varbyte.delta_encode(doc_ids, chunk)
-    rows: list[dict] = []
+    gap_buf, gap_sizes = varbyte.encode_chunked(gaps, chunk)
+    tf_buf, tf_sizes = varbyte.encode_chunked(tfs, chunk)
+
+    starts = np.arange(0, n, chunk)
+    ends = np.minimum(starts + chunk, n)
+    last_docs = doc_ids[ends - 1]
+    counts = ends - starts
+    max_tfs = np.maximum.reduceat(tfs, starts)
+    gap_offs = np.zeros(starts.size + 1, dtype=np.int64)
+    np.cumsum(gap_sizes, out=gap_offs[1:])
+    tf_offs = np.zeros(starts.size + 1, dtype=np.int64)
+    np.cumsum(tf_sizes, out=tf_offs[1:])
+
     # Greedy block packing: add whole chunks while total payload +
     # metadata stays under block_bytes (Lexicon.cpp:181-233 semantics,
     # 16 bytes of metadata per chunk like the reference's 3x uint32 +
     # amortized header).
-    block: list[tuple[int, int, bytes, bytes, int]] = []  # (last_doc, count, gap_b, tf_b, max_tf)
-    block_bytes = 0
+    rows: list[dict] = []
     block_id = 0
-    first_doc = int(doc_ids[0])
-
-    def flush() -> None:
-        nonlocal block, block_bytes, block_id, first_doc
-        if not block:
-            return
-        rows.append({
-            "term": term,
-            "seg": seg,
-            "block_id": block_id,
-            "n_postings": int(sum(c for _, c, _, _, _ in block)),
-            "first_doc_id": first_doc,
-            "last_doc_id": int(block[-1][0]),
-            "max_tf": int(max(m for *_, m in block)),
-            "chunk_last_doc_ids": [int(d) for d, *_ in block],
-            "chunk_counts": [int(c) for _, c, *_ in block],
-            "chunk_max_tfs": [int(m) for *_, m in block],
-            "doc_gaps": b"".join(g for _, _, g, _, _ in block),
-            "tfs": b"".join(t for _, _, _, t, _ in block),
-        })
-        block_id += 1
-        block = []
-        block_bytes = 0
-
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        gap_b = varbyte.encode(gaps[s:e])
-        tf_b = varbyte.encode(tfs[s:e])
-        sz = len(gap_b) + len(tf_b) + 16
-        if block and block_bytes + sz > cfg.block_bytes:
-            flush()
-        if not block:
-            first_doc = int(doc_ids[s])
-        block.append((int(doc_ids[e - 1]), e - s, gap_b, tf_b, int(tfs[s:e].max())))
+    a = 0  # first chunk of the current block
+    block_bytes = 0
+    for ci in range(starts.size):
+        sz = int(gap_sizes[ci] + tf_sizes[ci]) + 16
+        if ci > a and block_bytes + sz > cfg.block_bytes:
+            rows.append(_block_row(term, seg, block_id, a, ci, doc_ids,
+                                   starts, last_docs, counts, max_tfs,
+                                   gap_buf, gap_offs, tf_buf, tf_offs))
+            block_id += 1
+            a = ci
+            block_bytes = 0
         block_bytes += sz
-    flush()
+    if starts.size:
+        rows.append(_block_row(term, seg, block_id, a, starts.size, doc_ids,
+                               starts, last_docs, counts, max_tfs,
+                               gap_buf, gap_offs, tf_buf, tf_offs))
     return rows
+
+
+def _encode_seg_batch(seg: int, terms: list[str],
+                      docs_list: list[list[int]], tfs_list: list[list[int]],
+                      cfg: EngineConfig) -> list[dict]:
+    """Encode ALL of one segment's (term → postings) groups in one
+    vectorized pass.
+
+    With a large vocabulary a segment holds thousands of small groups;
+    per-group numpy calls (~25 each) dominated encode CPU.  Here the
+    groups are concatenated, the chunk grid is computed group-aware,
+    and a single VarByte pass covers everything — identical bytes to
+    per-group :func:`_encode_group` (VarByte is per-value; the chunk
+    grid and delta resets are reproduced exactly).
+    """
+    chunk = cfg.postings_per_chunk
+    lens = np.fromiter((len(d) for d in docs_list), dtype=np.int64,
+                       count=len(docs_list))
+    all_docs = np.concatenate([np.asarray(d, dtype=np.int64) for d in docs_list])
+    all_tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in tfs_list])
+    g_starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=g_starts[1:])
+
+    # global chunk grid: per group, chunks start at g_start + k*chunk
+    chunk_starts = np.concatenate(
+        [gs + np.arange(0, ln, chunk, dtype=np.int64)
+         for gs, ln in zip(g_starts, lens)]
+    )
+    n_chunks_per_group = (lens + chunk - 1) // chunk
+
+    # delta-gap with reset at every chunk start (== per-group
+    # delta_encode: group starts are chunk starts too)
+    gaps = all_docs.copy()
+    gaps[1:] -= all_docs[:-1]
+    gaps[chunk_starts] = all_docs[chunk_starts]
+
+    gap_arr, gap_groups = varbyte._encode_arr(gaps)
+    tf_arr, tf_groups = varbyte._encode_arr(all_tfs)
+    gap_sizes = np.add.reduceat(gap_groups, chunk_starts)
+    tf_sizes = np.add.reduceat(tf_groups, chunk_starts)
+    chunk_ends = np.append(chunk_starts[1:], all_docs.size)
+    # group boundaries also end chunks; chunk_starts already includes
+    # every group start, so chunk_ends is correct except where a group
+    # ends mid-gap — impossible: next group's first chunk start is the
+    # current group's end.
+    last_docs = all_docs[chunk_ends - 1]
+    counts = chunk_ends - chunk_starts
+    max_tfs = np.maximum.reduceat(all_tfs, chunk_starts)
+    gap_offs = np.zeros(chunk_starts.size + 1, dtype=np.int64)
+    np.cumsum(gap_sizes, out=gap_offs[1:])
+    tf_offs = np.zeros(chunk_starts.size + 1, dtype=np.int64)
+    np.cumsum(tf_sizes, out=tf_offs[1:])
+    gap_buf = gap_arr.tobytes()
+    tf_buf = tf_arr.tobytes()
+
+    rows: list[dict] = []
+    ci0 = 0
+    for gi, term in enumerate(terms):
+        nck = int(n_chunks_per_group[gi])
+        block_id = 0
+        a = ci0
+        block_bytes = 0
+        for ci in range(ci0, ci0 + nck):
+            sz = int(gap_sizes[ci] + tf_sizes[ci]) + 16
+            if ci > a and block_bytes + sz > cfg.block_bytes:
+                rows.append(_chunkrange_row(
+                    term, seg, block_id, a, ci, all_docs, chunk_starts,
+                    last_docs, counts, max_tfs, gap_buf, gap_offs,
+                    tf_buf, tf_offs))
+                block_id += 1
+                a = ci
+                block_bytes = 0
+            block_bytes += sz
+        rows.append(_chunkrange_row(
+            term, seg, block_id, a, ci0 + nck, all_docs, chunk_starts,
+            last_docs, counts, max_tfs, gap_buf, gap_offs, tf_buf, tf_offs))
+        ci0 += nck
+    return rows
+
+
+def _chunkrange_row(term, seg, block_id, a, b, all_docs, chunk_starts,
+                    last_docs, counts, max_tfs, gap_buf, gap_offs,
+                    tf_buf, tf_offs) -> dict:
+    return {
+        "term": term,
+        "seg": seg,
+        "block_id": block_id,
+        "n_postings": int(counts[a:b].sum()),
+        "first_doc_id": int(all_docs[chunk_starts[a]]),
+        "last_doc_id": int(last_docs[b - 1]),
+        "max_tf": int(max_tfs[a:b].max()),
+        "chunk_last_doc_ids": last_docs[a:b].tolist(),
+        "chunk_counts": counts[a:b].astype(np.int32).tolist(),
+        "chunk_max_tfs": max_tfs[a:b].astype(np.int32).tolist(),
+        "doc_gaps": gap_buf[gap_offs[a]:gap_offs[b]],
+        "tfs": tf_buf[tf_offs[a]:tf_offs[b]],
+    }
+
+
+def _block_row(term, seg, block_id, a, b, doc_ids, starts, last_docs,
+               counts, max_tfs, gap_buf, gap_offs, tf_buf, tf_offs) -> dict:
+    return {
+        "term": term,
+        "seg": seg,
+        "block_id": block_id,
+        "n_postings": int(counts[a:b].sum()),
+        "first_doc_id": int(doc_ids[starts[a]]),
+        "last_doc_id": int(last_docs[b - 1]),
+        "max_tf": int(max_tfs[a:b].max()),
+        "chunk_last_doc_ids": last_docs[a:b].tolist(),
+        "chunk_counts": counts[a:b].astype(np.int32).tolist(),
+        "chunk_max_tfs": max_tfs[a:b].astype(np.int32).tolist(),
+        "doc_gaps": gap_buf[gap_offs[a]:gap_offs[b]],
+        "tfs": tf_buf[tf_offs[a]:tf_offs[b]],
+    }
 
 
 def _encode_stream(cfg: EngineConfig):
@@ -180,6 +291,150 @@ def encode_index(postings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     )
     blocks = arranged.mapInPandas(_encode_stream(cfg), INDEX_SCHEMA)
     return blocks.withColumn("shard", shard_col(cfg=cfg))
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass build: tokenize + encode in one kernel
+# ---------------------------------------------------------------------------
+#
+# The two-stage build above ships one row per *posting* through a
+# shuffle and a second Arrow crossing.  The fused path instead
+# shuffles one row per *document* (documents are smaller than their
+# postings), doc-range-partitions them so every segment lives wholly
+# in one partition, locally sorts by doc_id (no shuffle), and runs
+# tokenize → per-segment posting accumulation → block encode inside a
+# single Arrow kernel.  Only the compressed block rows (~2 orders of
+# magnitude smaller than postings) leave Python.  This is the classic
+# document-partitioned index build: per-segment local indexes, with
+# the term-sharded layout recovered for free by ``partitionBy(shard)``
+# at write time.  Memory is bounded by one segment's postings
+# (``segment_docs`` docs), the analog of the reference's 20 MB spill
+# bound (``InvertedList.cpp:77-112``).
+#
+# Output rows are discriminated by ``kind``: 0 = index block (same
+# bytes as ``encode_index`` — each (term, seg) group sees the same
+# doc_id-sorted posting stream, so the encode is bit-identical),
+# 1 = per-document stats row (byte_len, distinct_terms) so the page
+# table falls out of the same text pass.
+
+FUSED_SCHEMA = INDEX_SCHEMA + (
+    ", doc_id long, byte_len int, distinct_terms int, kind int"
+)
+
+_BLOCK_COLS = [c.split()[0] for c in INDEX_SCHEMA.split(",")]
+
+
+def _fused_stream(cfg: EngineConfig):
+    from cs6913_web_search_engines_spark.functions import tokenizer
+
+    all_cols = _BLOCK_COLS + ["doc_id", "byte_len", "distinct_terms", "kind"]
+    int_cols = ["seg", "block_id", "n_postings", "first_doc_id",
+                "last_doc_id", "max_tf", "doc_id", "byte_len",
+                "distinct_terms", "kind"]
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_seg: int | None = None
+        acc: dict[str, tuple[list, list]] = {}
+        doc_rows: list[tuple[int, int, int]] = []
+
+        def flush_seg() -> list[dict]:
+            nonlocal acc
+            if not acc:
+                return []
+            terms = sorted(acc)
+            rows = _encode_seg_batch(
+                cur_seg, terms,
+                [acc[t][0] for t in terms],
+                [acc[t][1] for t in terms], cfg,
+            )
+            acc = {}
+            return rows
+
+        def emit(rows: list[dict], docs: list) -> pd.DataFrame:
+            frames = []
+            if rows:
+                b = pd.DataFrame(rows)
+                b["kind"] = 0
+                frames.append(b)
+            if docs:
+                d = pd.DataFrame(
+                    docs, columns=["doc_id", "byte_len", "distinct_terms"]
+                )
+                d["kind"] = 1
+                frames.append(d)
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+            else:
+                out = pd.DataFrame()
+            out = out.reindex(columns=all_cols)
+            # nullable ints: concat turns partially-absent int columns
+            # into float64(NaN), which Arrow refuses to cast back
+            for c in int_cols:
+                out[c] = out[c].astype("Int64")
+            # list/binary/string columns: NaN (from reindex/concat)
+            # must become None for Arrow
+            for c in all_cols:
+                if c not in int_cols:
+                    s = out[c].astype(object)
+                    out[c] = s.where(s.notna(), None)
+            return out
+
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                doc_id = int(doc_id)
+                seg = doc_id // cfg.segment_docs
+                if seg != cur_seg:
+                    out.extend(flush_seg())
+                    cur_seg = seg
+                if text is None:
+                    doc_rows.append((doc_id, 0, 0))
+                    continue
+                freqs = tokenizer.doc_term_freqs(text)
+                doc_rows.append(
+                    (doc_id, len(text.encode("utf-8")), len(freqs))
+                )
+                for t, c in freqs.items():
+                    slot = acc.get(t)
+                    if slot is None:
+                        acc[t] = ([doc_id], [c])
+                    else:
+                        slot[0].append(doc_id)
+                        slot[1].append(c)
+            if out or len(doc_rows) >= 65536:
+                yield emit(out, doc_rows)
+                doc_rows = []
+        yield emit(flush_seg(), doc_rows)
+
+    return fn
+
+
+def encode_fused(documents: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """documents(doc_id, text) → union of block rows (kind=0, with
+    shard) and doc-stats rows (kind=1).  One doc-shuffle, one Arrow
+    crossing; cache and split with :func:`fused_blocks` /
+    :func:`fused_doc_stats`."""
+    seg = (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long")
+    arranged = (
+        documents.select("doc_id", "text")
+        .repartition(cfg.run_partitions, seg)
+        .sortWithinPartitions("doc_id")
+    )
+    fused = arranged.mapInPandas(_fused_stream(cfg), FUSED_SCHEMA)
+    return fused.withColumn(
+        "shard",
+        F.when(F.col("kind") == 0, shard_col(cfg=cfg)).otherwise(F.lit(-1)),
+    )
+
+
+def fused_blocks(fused: DataFrame) -> DataFrame:
+    return fused.filter(F.col("kind") == 0).select(*_BLOCK_COLS, "shard")
+
+
+def fused_doc_stats(fused: DataFrame) -> DataFrame:
+    return fused.filter(F.col("kind") == 1).select(
+        "doc_id", "byte_len", "distinct_terms"
+    )
 
 
 def write_index(blocks: DataFrame, path: str) -> None:

@@ -189,45 +189,88 @@ def build_full(
     cfg: EngineConfig = DEFAULT,
     lineage: dict | None = None,
     checkpoint_runs: bool = True,
+    fused: bool = False,
 ) -> dict:
-    """Tokenize-once build: corpus → runs checkpoint → {index, lexicon,
-    doc_stats, stats.json} under ``out``.
+    """Tokenize-once build: corpus → {index, lexicon, doc_stats,
+    stats.json} under ``out``.
 
-    The posting runs are the only pass that touches text; every
-    downstream structure derives from the runs parquet (re-read, not
-    recomputed), mirroring the reference's staged files
-    (``main.cpp:118-135``) and keeping the build resumable.  The
-    lexicon is aggregated from the *encoded blocks* (sum of
+    Two physical strategies, identical output bytes:
+
+    * ``checkpoint_runs=True`` (durable): postings runs are written as
+      a resumable checkpoint (one pass over text); every downstream
+      structure derives from the runs parquet, mirroring the
+      reference's staged files (``main.cpp:118-135``).
+    * ``fused=True`` (throughput): single-pass tokenize+encode kernel
+      (block_codec.encode_fused) — one doc-shuffle, no posting
+      shuffle; doc_stats fall out of the same pass.  Best
+      postings/sec; resumability is per-job (Spark stage retry), not
+      per-stage.
+
+    The lexicon is aggregated from the *encoded blocks* (sum of
     n_postings per term) so it costs one scan of the compact index
     instead of another postings shuffle.
     """
+    from pyspark.sql import Observation
+
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
     t0 = time.time()
-    postings = build_postings(docs)
-    if checkpoint_runs:
-        run_manifest = write_runs(
-            postings, os.path.join(out, "runs"), cfg, lineage=lineage
-        )
-        postings = read_runs(spark, os.path.join(out, "runs"))
-    else:
-        run_manifest = None
-        postings = postings.cache()
+    run_manifest = None
+    # Corpus/lexicon scalar aggregates ride the write jobs via
+    # ``observe`` — saves dedicated aggregate jobs whose fixed
+    # scheduling cost dominates at high parallelism.
+    len_col = "distinct_terms" if cfg.length_norm == "hw3" else "byte_len"
+    obs_docs = Observation("corpus_stats")
 
-    bc.write_index(bc.encode_index(postings, cfg), os.path.join(out, "index"))
-    blocks = spark.read.parquet(os.path.join(out, "index"))
+    def _observe_docs(ds: DataFrame) -> DataFrame:
+        return ds.observe(
+            obs_docs,
+            F.count("*").alias("total_docs"),
+            F.avg(F.col(len_col).cast("double")).alias("avg_len"),
+            F.min(len_col).alias("min_len"),
+            F.max(len_col).alias("max_len"),
+        )
+
+    if fused and not checkpoint_runs:
+        fused_df = bc.encode_fused(docs, cfg).cache()
+        bc.write_index(bc.fused_blocks(fused_df), os.path.join(out, "index"))
+        blocks = spark.read.parquet(os.path.join(out, "index"))
+        doc_stats = bc.fused_doc_stats(fused_df)
+        if "url" in docs.columns:
+            doc_stats = doc_stats.join(docs.select("doc_id", "url"), "doc_id", "left")
+        _observe_docs(doc_stats).write.mode("overwrite").parquet(
+            os.path.join(out, "doc_stats"))
+        fused_df.unpersist()
+    else:
+        postings = build_postings(docs)
+        if checkpoint_runs:
+            run_manifest = write_runs(
+                postings, os.path.join(out, "runs"), cfg, lineage=lineage
+            )
+            postings = read_runs(spark, os.path.join(out, "runs"))
+        else:
+            postings = postings.cache()
+        bc.write_index(bc.encode_index(postings, cfg), os.path.join(out, "index"))
+        blocks = spark.read.parquet(os.path.join(out, "index"))
+        doc_stats = build_doc_stats(docs, postings)
+        _observe_docs(doc_stats).write.mode("overwrite").parquet(
+            os.path.join(out, "doc_stats"))
+
+    obs_lex = Observation("lexicon_stats")
     lexicon = blocks.groupBy("term").agg(
         F.sum("n_postings").alias("df"), F.max("max_tf").alias("max_tf")
-    )
+    ).observe(obs_lex, F.sum("df").alias("n_postings"))
     lexicon.write.mode("overwrite").parquet(os.path.join(out, "lexicon"))
-
-    doc_stats = build_doc_stats(docs, postings)
-    doc_stats.write.mode("overwrite").parquet(os.path.join(out, "doc_stats"))
-    doc_stats = spark.read.parquet(os.path.join(out, "doc_stats"))
-    stats = corpus_stats(doc_stats, cfg)
+    drow = obs_docs.get
+    stats = {
+        "total_docs": int(drow["total_docs"]),
+        "avg_len": float(drow["avg_len"] or 0.0),
+        "min_len": int(drow["min_len"] or 0),
+        "max_len": int(drow["max_len"] or 0),
+    }
     elapsed = time.time() - t0
 
-    n_postings = int(blocks.agg(F.sum("n_postings")).collect()[0][0] or 0)
+    n_postings = int(obs_lex.get["n_postings"] or 0)
     stats.update(
         {
             "n_postings": n_postings,

@@ -129,6 +129,7 @@ def search_compressed(
     queries: dict[str, str],
     cfg: EngineConfig = DEFAULT,
     conjunctive: bool = False,
+    broadcast_doc_stats: bool = True,
 ) -> DataFrame:
     """Query the term-sharded compressed index: shard partition pruning
     + term predicate pushdown → decode UDF → same scorer."""
@@ -140,7 +141,8 @@ def search_compressed(
     )
     postings = block_codec.decode_postings(blocks, cfg)
     qt = queries_to_terms(spark, queries)
-    return score_query_set(postings, qt, lexicon, doc_stats, stats, cfg, conjunctive)
+    return score_query_set(postings, qt, lexicon, doc_stats, stats, cfg,
+                           conjunctive, broadcast_doc_stats=broadcast_doc_stats)
 
 
 def attach_content(results: DataFrame, documents: DataFrame) -> DataFrame:

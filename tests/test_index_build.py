@@ -131,3 +131,28 @@ def test_partial_runs_resume(built, tmp_path_factory):
     direct = set(map(tuple, postings.select("doc_id", "term", "tf").collect()))
     assert back == direct
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_fused_build_equals_staged(spark, documents, tmp_path):
+    """The fused single-pass build (tokenize+encode in one kernel, no
+    posting shuffle) must emit byte-identical index blocks and
+    doc_stats to the two-stage build."""
+    import shutil
+
+    from cs6913_web_search_engines_spark.operators import index_build as ib
+
+    cfg = EngineConfig(segment_docs=128)
+    a, b = str(tmp_path / "fused"), str(tmp_path / "staged")
+    ib.build_full(spark, documents, a, cfg, checkpoint_runs=False, fused=True)
+    ib.build_full(spark, documents, b, cfg, checkpoint_runs=False, fused=False)
+    ra = sorted(map(repr, spark.read.parquet(a + "/index").collect()))
+    rb = sorted(map(repr, spark.read.parquet(b + "/index").collect()))
+    assert ra == rb
+    da = sorted(map(tuple, spark.read.parquet(a + "/doc_stats").collect()))
+    db = sorted(map(tuple,
+                    spark.read.parquet(b + "/doc_stats")
+                    .select("doc_id", "byte_len", "distinct_terms").collect()))
+    assert da == db
+    lx = sorted(map(tuple, spark.read.parquet(a + "/lexicon").collect()))
+    ly = sorted(map(tuple, spark.read.parquet(b + "/lexicon").collect()))
+    assert lx == ly

@@ -58,3 +58,14 @@ def test_decode_reads_only_needed_columns(spark, index_path):
     cols = checks.read_schema_columns(decoded)
     # codec needs only term + payload columns, not the metadata arrays
     assert set(cols) <= {"term", "n_postings", "doc_gaps", "tfs"}, cols
+
+
+def test_ann_query_side_broadcasts(spark):
+    from cs6913_web_search_engines_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = sim.brute_force_topk(emb, n_queries=4, k=5)
+    # the tiny query side must broadcast into the corpus scan — a
+    # shuffle of the big side here would be fatal at 10^12 vectors
+    assert "BroadcastNestedLoopJoin" in checks.plan_text(res) or \
+        checks.has_broadcast_join(res)
