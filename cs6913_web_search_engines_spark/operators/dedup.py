@@ -45,7 +45,9 @@ SIMHASH_BANDS = 4  # 16 bits per band → finds hamming <= SIMHASH_BANDS-1
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """(content_md5, n_dups, canonical_doc_id, dup_doc_ids) for every
     content group with >1 member; canonical = min doc_id (keep-first
-    policy, deterministic)."""
+    policy, deterministic).  ``dup_doc_ids`` is a comma-joined string
+    (sorted) — scalar columns keep the row hashable for the driver's
+    canonicalizer and any downstream sink."""
     return (
         documents.select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("content_md5")
@@ -54,7 +56,13 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
         .agg(
             F.count("*").cast("int").alias("n_dups"),
             F.min("doc_id").alias("canonical_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("dup_doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("dup_doc_ids"),
         )
         .filter(F.col("n_dups") > 1)
     )
@@ -65,7 +73,7 @@ def exact_duplicates_sql(docs: str = "documents") -> str:
 SELECT md5(text) AS content_md5,
        CAST(COUNT(*) AS INT) AS n_dups,
        MIN(doc_id) AS canonical_doc_id,
-       list_sort(list(doc_id)) AS dup_doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS dup_doc_ids
 FROM {docs}
 GROUP BY md5(text)
 HAVING COUNT(*) > 1

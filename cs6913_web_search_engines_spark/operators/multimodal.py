@@ -83,7 +83,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, mean_byte double, "
-    "n_frames int, nib_hist array<int>"
+    "n_frames int, nib_hist string"
 )
 
 
@@ -106,7 +106,9 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     int(b.size),
                     round(float(b.mean()) if b.size else 0.0, 6),
                     int(b.size // FRAME_BYTES + 1),
-                    hist.tolist(),
+                    # comma-joined — keeps the row hashable for the
+                    # driver's canonicalizer (scalar columns only)
+                    ",".join(str(int(h)) for h in hist),
                 )
             )
         yield pd.DataFrame(
@@ -138,7 +140,7 @@ SELECT doc_id AS media_id,
                   THEN list_sum({chars}) / length(text)::DOUBLE
                   ELSE 0.0 END, 6) AS mean_byte,
        CAST(length(text) // {FRAME_BYTES} + 1 AS INT) AS n_frames,
-       {hist} AS nib_hist
+       array_to_string({hist}, ',') AS nib_hist
 FROM {docs}
 """
 

@@ -103,7 +103,7 @@ def domain_stats_sql(pages_rel: str) -> str:
     return f"""
 SELECT {_HOST} AS domain,
        CAST(COUNT(*) AS INT) AS n_pages,
-       SUM(octet_length(html)) AS total_bytes,
+       CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes,
        ROUND(AVG(octet_length(html)), 6) AS avg_bytes,
        MIN(warc_ts) AS first_ts,
        MAX(warc_ts) AS last_ts
@@ -188,7 +188,8 @@ WITH base AS (
     FROM (SELECT {_HOST} AS domain, COUNT(*) - 1 AS enqueue_count
           FROM ({pages_rel}) GROUP BY 1)),
 sl AS (
-    SELECT second_last, SUM(enqueue_count) + COUNT(*) AS sl_count
+    SELECT second_last,
+           CAST(SUM(enqueue_count) + COUNT(*) AS BIGINT) AS sl_count
     FROM base GROUP BY 1),
 d AS (SELECT b.*, sl.sl_count FROM base b JOIN sl USING (second_last))
 SELECT {", ".join(_priority_exprs())} FROM d
