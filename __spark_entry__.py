@@ -205,7 +205,9 @@ WHERE rank <= {CFG.top_k}
 # --- training-data pipeline operators (text analysis / dedup / ANN) --------
 
 NEARDUP_T = 0.35      # embedding-cosine near-dup threshold (data-calibrated)
+NEARDUP_CELLS = 16    # IVF cells blocking the near-dup pair join
 JACCARD_T = 0.2       # shingle-Jaccard thresholds for the synthetic corpus
+NGRAM_MAX_DF = 20     # stop-shingle df cap in candidate generation
 ANN_QUERIES, ANN_K = 8, 10
 
 
@@ -305,12 +307,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_with_dups(_docs(s, d))),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
-            _docs(s, d), threshold=JACCARD_T),
+            _docs(s, d), threshold=JACCARD_T, max_shingle_df=NGRAM_MAX_DF),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), threshold=JACCARD_T),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(
             ib.build_postings(_docs(s, d)), max_hamming=10),
-        "embedding_neardup": lambda s, d: sim.neardup_pairs(_emb(s, d), NEARDUP_T),
+        "embedding_neardup": lambda s, d: sim.neardup_pairs(
+            _emb(s, d), NEARDUP_T, n_centroids=NEARDUP_CELLS),
         # --- similarity search ---
         "ann_bruteforce": lambda s, d: sim.brute_force_topk(_emb(s, d), ANN_QUERIES, ANN_K),
         "ann_ivf": lambda s, d: sim.ivf_topk(_emb(s, d), ANN_QUERIES, ANN_K),
@@ -355,10 +358,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ta.lang_id_sql(),
         "fingerprints": ta.fingerprints_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(_DUPS_SQL),
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(threshold=JACCARD_T),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(
+            threshold=JACCARD_T, max_shingle_df=NGRAM_MAX_DF),
         "dedup_minhash_lsh": dedup.minhash_lsh_sql(threshold=JACCARD_T),
         "dedup_simhash": dedup.simhash_sql(_POSTINGS_CTE, max_hamming=10),
-        "embedding_neardup": sim.neardup_sql(NEARDUP_T),
+        "embedding_neardup": sim.neardup_sql(NEARDUP_T, n_centroids=NEARDUP_CELLS),
         "ann_bruteforce": sim.brute_force_sql(ANN_QUERIES, ANN_K),
         "ann_ivf": sim.ivf_topk_sql(ANN_QUERIES, ANN_K),
         "bm25_rerank": rerank.bm25_rerank_sql(

@@ -19,8 +19,10 @@ targets 10^12-doc scale:
   the standard shingle→minhash→band→bucket-join pipeline; per-doc
   signature state is O(k), never O(shingles).
 * **SimHash**: 64-bit tf-weighted signature from md5-nibble bits; a
-  4×16-bit band join finds all pairs with Hamming distance ≤ 3 by
-  pigeonhole; zip_with popcount verifies.
+  band join with ``max_hamming + 1`` bands finds ALL pairs with
+  Hamming distance ≤ max_hamming by pigeonhole (band count derived
+  from the radius — complete at any radius ≤ 63); zip_with popcount
+  verifies.
 
 Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle
 reproduces values bit-for-bit.
@@ -35,7 +37,27 @@ from cs6913_web_search_engines_spark.functions import hashing
 MINHASH_K = 16
 MINHASH_BANDS = 4  # rows per band = MINHASH_K // MINHASH_BANDS = 4
 SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 16 bits per band → finds hamming <= SIMHASH_BANDS-1
+
+
+def simhash_band_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """(start, width) 1-based slices cutting the 64-bit signature into
+    ``max_hamming + 1`` nearly-equal bands.
+
+    Pigeonhole completeness: two signatures within Hamming distance
+    ``max_hamming`` differ in ≤ max_hamming bands, so with
+    max_hamming+1 bands at least one band matches exactly — the band
+    join finds EVERY qualifying pair (no recall gap at any
+    max_hamming ≤ 63)."""
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
+    bands = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, bands)
+    bounds, start = [], 1
+    for j in range(bands):
+        w = base + (1 if j < rem else 0)
+        bounds.append((start, w))
+        start += w
+    return bounds
 
 
 # ---------------------------------------------------------------------------
@@ -175,15 +197,38 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_sql(docs: str = "documents", n: int = 3,
-                      threshold: float = 0.8) -> str:
-    return f"""
-WITH {_shingles_cte(docs, n)},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+                      threshold: float = 0.8,
+                      max_shingle_df: int | None = None) -> str:
+    """Oracle for :func:`ngram_jaccard_pairs`; with ``max_shingle_df``
+    it mirrors the capped candidate generation (candidates from rare
+    shingles, verification over full shingle sets)."""
+    if max_shingle_df is not None:
+        cand = f"""
+keep AS (
+    SELECT shingle FROM shingles GROUP BY shingle
+    HAVING COUNT(*) <= {max_shingle_df}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shingles a
+    JOIN keep k ON k.shingle = a.shingle
+    JOIN shingles b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cands c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2)"""
+    else:
+        cand = """
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
     FROM shingles a JOIN shingles b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2)
+    GROUP BY 1, 2)"""
+    return f"""
+WITH {_shingles_cte(docs, n)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+{cand}
 SELECT doc_a, doc_b,
        ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
 FROM inter
@@ -358,27 +403,24 @@ def simhash_signatures(postings: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(postings: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming) for pairs with Hamming(sig) ≤ max_hamming.
+    """(doc_a, doc_b, hamming) for ALL pairs with Hamming(sig) ≤
+    max_hamming.
 
-    Band join: 64 bits → SIMHASH_BANDS contiguous 16-bit bands; any
-    pair within distance SIMHASH_BANDS−1 agrees exactly on ≥1 band
-    (pigeonhole), so the bucket join finds all of them; zip_with
-    popcount then computes the exact distance.
+    Band join with ``max_hamming + 1`` bands (simhash_band_bounds):
+    any qualifying pair agrees exactly on ≥1 band (pigeonhole), so the
+    bucket join is complete at every max_hamming ≤ 63; zip_with
+    popcount then computes the exact distance.  More bands = more
+    candidate volume — the price of full recall at larger radii.
     """
     sig = simhash_signatures(postings)
-    width = SIMHASH_BITS // SIMHASH_BANDS
+    bounds = simhash_band_bounds(max_hamming)
+    keys = F.array(*[
+        F.concat_ws("", F.transform(F.slice("bits", s, w),
+                                    lambda x: x.cast("string")))
+        for s, w in bounds
+    ])
     bandtab = sig.select(
-        "doc_id",
-        "bits",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)),
-                lambda j: F.concat_ws(
-                    "", F.transform(F.slice("bits", j * width + 1, width),
-                                    lambda x: x.cast("string"))
-                ),
-            )
-        ).alias("band", "key"),
+        "doc_id", "bits", F.posexplode(keys).alias("band", "key")
     )
     a = bandtab.withColumnsRenamed({"doc_id": "doc_a", "bits": "bits_a"})
     b = bandtab.withColumnsRenamed({"doc_id": "doc_b", "bits": "bits_b"})
@@ -401,14 +443,14 @@ def simhash_pairs(postings: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def simhash_sql(postings_cte: str, max_hamming: int = 3) -> str:
-    """DuckDB oracle over a CTE named ``postings`` (doc_id, term, tf)."""
-    width = SIMHASH_BITS // SIMHASH_BANDS
+    """DuckDB oracle over a CTE named ``postings`` (doc_id, term, tf);
+    mirrors the max_hamming-derived banding of :func:`simhash_pairs`."""
     bit = hashing.bit_expr_duck("term", "b")
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, bits, {j} AS band, "
-        f"array_to_string(bits[{j * width + 1}:{(j + 1) * width}], '') AS key "
+        f"array_to_string(bits[{s}:{s + w - 1}], '') AS key "
         "FROM sigs"
-        for j in range(SIMHASH_BANDS)
+        for j, (s, w) in enumerate(simhash_band_bounds(max_hamming))
     )
     return f"""
 WITH {postings_cte},

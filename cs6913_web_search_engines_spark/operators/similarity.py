@@ -19,8 +19,9 @@ model, so the distributed formulation is):
   neighbors live in probed cells (guaranteed here by using the same
   deterministic assignment in the oracle).
 * **near-dup pairs** — embedding-cosine near-duplicate detection for
-  dedup pipelines; exact all-pairs baseline with the IVF-cell
-  blocking as the scale variant (pairs within a cell only).
+  dedup pipelines; the DEFAULT path blocks by IVF cell (equi-join on
+  centroid_id, O(N²/C) work), with the exact all-pairs cross join as
+  an opt-in baseline (:func:`neardup_pairs_exact`).
 
 Cosine is computed as a *sequential left fold in double* on both
 engines — verified bit-identical between Spark's ``aggregate`` and
@@ -103,23 +104,59 @@ WHERE rank <= {k}
 # --- IVF-Flat --------------------------------------------------------------
 
 
+def _centroid_literals(embeddings: DataFrame, n_centroids: int) -> list:
+    """Collect the (tiny) centroid set to the driver — centroids are a
+    model parameter (16–65k rows), like faiss IVF's coarse quantizer;
+    shipping them as expression literals makes assignment a pure
+    projection with NO join and NO shuffle (vs the crossJoin+window
+    formulation, which shuffles N×C rows)."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding").collect()
+    )
+    return sorted((r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows)
+
+
+def _cent_sim_structs(cents: list, vec_col: str) -> str:
+    """SQL array<struct<s double, id int>> of cosine(centroid, vec)."""
+    parts = []
+    for cid, vec in cents:
+        lit = "array(" + ", ".join(f"CAST('{x!r}' AS FLOAT)" for x in vec) + ")"
+        parts.append(
+            f"named_struct('s', {cosine_expr(lit, vec_col)}, 'id', {int(cid)})"
+        )
+    return "array(" + ",\n ".join(parts) + ")"
+
+
+def assign_centroid_expr(cents: list, vec_col: str = "embedding") -> str:
+    """Argmax-cosine centroid id (ties → smallest id): a strict-greater
+    left fold over the ascending-id centroid array."""
+    arr = _cent_sim_structs(cents, vec_col)
+    return (
+        f"aggregate({arr}, "
+        "named_struct('s', CAST('-Infinity' AS DOUBLE), 'id', -1), "
+        "(acc, x) -> IF(x.s > acc.s, x, acc)).id"
+    )
+
+
+def probe_centroids_expr(cents: list, nprobe: int, vec_col: str) -> str:
+    """array<int> of the ``nprobe`` nearest centroid ids (cosine desc,
+    id asc) — again a pure expression over literal centroids."""
+    arr = _cent_sim_structs(cents, vec_col)
+    cmp = ("(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+           "WHEN l.id < r.id THEN -1 WHEN l.id > r.id THEN 1 ELSE 0 END")
+    return (f"transform(slice(array_sort({arr}, {cmp}), 1, {nprobe}), "
+            "x -> CAST(x.id AS BIGINT))")
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     """(vec_id, centroid_id) — each vector assigned to its max-cosine
-    centroid (ties → smallest centroid_id).  The centroid set is tiny
-    → broadcast; this is one scan of the corpus."""
-    cents = F.broadcast(
-        embeddings.filter(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
-    )
-    sim = F.expr(cosine_expr("cv", "embedding"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(),
-                                             F.col("centroid_id").asc())
-    return (
-        embeddings.crossJoin(cents)
-        .select("vec_id", "centroid_id", sim.alias("csim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    centroid (ties → smallest centroid_id).  Map-only: one scan, zero
+    shuffle; at 10^12 rows this writes straight out
+    ``partitionBy(centroid_id)`` with no exchange before the sink."""
+    expr = assign_centroid_expr(_centroid_literals(embeddings, n_centroids))
+    return embeddings.select(
+        "vec_id", F.expr(expr).cast("long").alias("centroid_id")
     )
 
 
@@ -131,28 +168,27 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """(query_id, vec_id, sim, rank) — IVF-Flat ANN: each query scores
-    only vectors assigned to its ``nprobe`` nearest centroids."""
-    assign = ivf_assign(embeddings, n_centroids)
-    q = (
-        embeddings.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    only vectors assigned to its ``nprobe`` nearest centroids.
+
+    Both cell assignment and probe selection are literal-centroid
+    projections (no shuffle); the only joins are broadcast(tiny probe
+    list) × corpus and the final per-query top-k window.  With the
+    assignment written ``partitionBy(centroid_id)``, the probe join
+    becomes literal partition pruning at 10^12 scale."""
+    cents = _centroid_literals(embeddings, n_centroids)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cents = F.broadcast(
-        embeddings.filter(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv"))
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(F.expr(probe_centroids_expr(cents, nprobe, "qv")))
+        .alias("centroid_id"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
-                                                F.col("centroid_id").asc())
-    probes = (
-        q.crossJoin(cents)
-        .select("query_id", "qv", "centroid_id",
-                F.expr(cosine_expr("cv", "qv")).alias("csim"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+    # map-only cell tag on the corpus; probe join prunes to probed cells
+    members = embeddings.withColumn(
+        "centroid_id",
+        F.expr(assign_centroid_expr(cents)).cast("long"),
     )
-    # cell membership join prunes the corpus to probed cells
-    members = assign.join(embeddings, "vec_id")
     sim = F.expr(cosine_expr("qv", "embedding"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
@@ -208,11 +244,43 @@ WHERE rank <= {k}
 # --- near-duplicate pairs --------------------------------------------------
 
 
-def neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """(vec_a, vec_b, sim) — all pairs with cosine ≥ threshold
-    (vec_a < vec_b).  Exact baseline; at scale, block by IVF cell
-    (join :func:`ivf_assign` to itself on centroid_id) so only
-    same-cell pairs are scored."""
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """(vec_a, vec_b, sim) — same-IVF-cell pairs with cosine ≥
+    threshold (vec_a < vec_b).
+
+    This is the scale path: candidate pairs come from an **equi-join
+    on centroid_id** (cells from :func:`ivf_assign`), never an
+    all-pairs cross join — with C ∝ √N centroids the expected work is
+    O(N²/C) ≈ O(N^1.5) and each cell is a bounded shuffle group.
+    Recall bound: pairs whose members land in different cells are not
+    scored (near-identical vectors almost always co-assign; the
+    exact-recall baseline is :func:`neardup_pairs_exact`).
+    """
+    cents = _centroid_literals(embeddings, n_centroids)
+    withcell = embeddings.select(
+        "vec_id", "embedding",
+        F.expr(assign_centroid_expr(cents)).cast("long").alias("centroid_id"),
+    )
+    a = withcell.select("centroid_id", F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("ea"))
+    b = withcell.select("centroid_id", F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("eb"))
+    sim = F.round(F.expr(cosine_expr("ea", "eb")), 6)
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def neardup_pairs_exact(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """All-pairs exact baseline (O(N²) cross join) — correctness
+    reference for :func:`neardup_pairs`, never the scale path."""
     a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     sim = F.round(F.expr(cosine_expr("ea", "eb")), 6)
@@ -223,10 +291,27 @@ def neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
 
-def neardup_sql(threshold: float = 0.9, emb: str = "embeddings") -> str:
-    cos = f"ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6)"
+def neardup_sql(
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    emb: str = "embeddings",
+) -> str:
+    """Oracle for :func:`neardup_pairs` — mirrors the same IVF-cell
+    assignment, so the blocked result set matches exactly."""
+    cos = f"ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6)"
     return f"""
+WITH assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   {cosine_sql("c.embedding", "e.embedding")} DESC,
+                   c.vec_id ASC) AS rn
+        FROM {emb} e JOIN {emb} c ON c.vec_id < {n_centroids})
+    WHERE rn = 1)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS sim
-FROM {emb} a JOIN {emb} b ON a.vec_id < b.vec_id
+FROM assign a
+JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+JOIN {emb} ea ON ea.vec_id = a.vec_id
+JOIN {emb} eb ON eb.vec_id = b.vec_id
 WHERE {cos} >= {threshold}
 """

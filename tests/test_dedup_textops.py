@@ -32,7 +32,7 @@ def test_exact_duplicates(toy):
     assert len(groups) == 1
     g = groups[0]
     assert g["canonical_doc_id"] == 0
-    assert g["dup_doc_ids"] == [0, 1]
+    assert g["dup_doc_ids"] == "0,1"
     assert g["content_md5"] == hashlib.md5(
         b"the quick brown fox jumps over the lazy dog"
     ).hexdigest()
@@ -111,6 +111,42 @@ def test_simhash_identical_docs_distance_zero(toy):
     assert pairs[(0, 1)] == 0
     # near-dup within a few bits; unrelated docs absent at this cutoff
     assert (0, 2) in pairs
+
+
+def test_simhash_band_bounds_pigeonhole_shape():
+    for mh in (0, 3, 10, 16, 63):
+        bounds = dedup.simhash_band_bounds(mh)
+        assert len(bounds) == mh + 1
+        assert sum(w for _, w in bounds) == dedup.SIMHASH_BITS
+        assert all(w >= 1 for _, w in bounds)
+        # contiguous, 1-based
+        pos = 1
+        for s, w in bounds:
+            assert s == pos
+            pos += w
+    with pytest.raises(ValueError):
+        dedup.simhash_band_bounds(64)
+    with pytest.raises(ValueError):
+        dedup.simhash_band_bounds(-1)
+
+
+def test_simhash_pairs_complete_at_radius(toy):
+    # the band join must find EXACTLY the pairs within the radius —
+    # brute-force all-pairs Hamming over the signatures is the oracle
+    postings = ib.build_postings(toy)
+    sigs = {r["doc_id"]: r["bits"]
+            for r in dedup.simhash_signatures(postings).collect()}
+    ids = sorted(sigs)
+    for radius in (4, 10):  # > SIMHASH bands-1 recall bound of round 1
+        expected = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+                if h <= radius:
+                    expected[(a, b)] = h
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in dedup.simhash_pairs(postings, max_hamming=radius).collect()}
+        assert got == expected, radius
 
 
 def test_quality_and_counts(toy):

@@ -81,6 +81,44 @@ def test_neardup_pairs_ordered_and_thresholded(emb):
         assert r["sim"] >= 0.3
 
 
+def test_neardup_blocked_is_subset_of_exact(emb):
+    exact = {(r["vec_a"], r["vec_b"]): r["sim"]
+             for r in sim.neardup_pairs_exact(emb, threshold=0.3).collect()}
+    blocked = {(r["vec_a"], r["vec_b"]): r["sim"]
+               for r in sim.neardup_pairs(emb, threshold=0.3).collect()}
+    assert blocked and set(blocked) <= set(exact)
+    for p, s in blocked.items():
+        assert s == exact[p]
+
+
+def test_neardup_blocked_finds_planted_duplicates(emb):
+    # a scaled copy has cosine exactly 1 and (cosine being
+    # scale-invariant) the same argmax-centroid → always same cell, so
+    # blocked recall on true near-identicals is 1.0
+    n = emb.count()
+    planted = emb.select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x * 1.5 AS FLOAT))").alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    got = {(r["vec_a"], r["vec_b"]): r["sim"]
+           for r in sim.neardup_pairs(both, threshold=0.999).collect()}
+    for vid in range(n):
+        assert got.get((vid, vid + n)) == 1.0, vid
+
+
+def test_neardup_blocked_plan_has_no_cross_join(emb):
+    from cs6913_web_search_engines_spark.plans import checks
+
+    txt = checks.plan_text(sim.neardup_pairs(emb, threshold=0.3))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # sanity: the exact baseline IS the cross-join shape we banned
+    txt_exact = checks.plan_text(sim.neardup_pairs_exact(emb, threshold=0.3))
+    assert ("CartesianProduct" in txt_exact
+            or "BroadcastNestedLoopJoin" in txt_exact)
+
+
 def test_rerank_topk_is_bm25_candidate_subset(spark, documents, built, emb):
     postings, doc_stats, stats, lexicon = built
     cfg = EngineConfig()
