@@ -327,6 +327,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             webpages.synthesize(_docs(s, d))),
         "crawl_priority": lambda s, d: weblog.crawl_priority(
             webpages.synthesize(_docs(s, d))),
+        "link_graph": lambda s, d: weblog.link_graph(
+            webpages.synthesize(_docs(s, d))),
+        "domain_in_degree": lambda s, d: weblog.domain_in_degree(
+            webpages.synthesize(_docs(s, d))),
+        "frontier_new_urls": lambda s, d: weblog.frontier_new_urls(
+            webpages.synthesize(_docs(s, d))),
         # --- multimodal ---
         "media_metadata": lambda s, d: mm.media_metadata(
             mm.synthesize_media(_docs(s, d))),
@@ -371,6 +377,9 @@ def oracle_sql() -> dict[str, str]:
         "url_features": weblog.url_features_sql(_PAGES_REL),
         "domain_stats": weblog.domain_stats_sql(_PAGES_REL),
         "crawl_priority": weblog.crawl_priority_sql(_PAGES_REL),
+        "link_graph": weblog.link_graph_sql(_PAGES_REL),
+        "domain_in_degree": weblog.domain_in_degree_sql(_PAGES_REL),
+        "frontier_new_urls": weblog.frontier_new_urls_sql(_PAGES_REL),
         "media_metadata": mm.synthesize_media_sql(),
         "media_features": mm.extract_features_sql(),
     }

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from cs6913_web_search_engines_spark.functions import hashing
 
 # web_crawler.py:112-124 — extension blacklist (joined to one regex).
 BLACKLIST_EXT = (
@@ -33,15 +32,30 @@ BLACKLIST_EXT = (
 SL_WHITELIST = ("ac", "ai", "biz", "co", "com", "cri", "edu", "govt", "health",
                 "info", "int", "io", "mil", "net", "org", "tech", "xyz")
 
-# Shared column SQL (valid in both Spark SQL and DuckDB):
+# Shared column SQL (valid in both Spark SQL and DuckDB), parametric
+# in the column so the same surgery applies to page urls and links:
+
+
+def _host_of(c: str) -> str:    # F8 web_crawler.py:163-170
+    return f"regexp_extract({c}, '^[a-z]+://([^/\\?#]+)', 1)"
+
+
+def _path_of(c: str) -> str:
+    return f"regexp_extract({c}, '^[a-z]+://[^/\\?#]+([^\\?#]*)', 1)"
+
+
+def _min_of(c: str) -> str:
+    # F7 web_crawler.py:559-584: '//' + lower(host)-www. + path-rstrip-/
+    return (
+        f"concat('//', regexp_replace(lower({_host_of(c)}), '^www\\.', ''), "
+        f"regexp_replace({_path_of(c)}, '/+$', ''))"
+    )
+
+
 _NORM = "regexp_replace(url, '[\\?#].*$', '')"                 # F6 web_crawler.py:542-556
-_HOST = "regexp_extract(url, '^[a-z]+://([^/\\?#]+)', 1)"      # F8 web_crawler.py:163-170
-_PATH = "regexp_extract(url, '^[a-z]+://[^/\\?#]+([^\\?#]*)', 1)"
-# F7 web_crawler.py:559-584: '//' + lower(host)-www. + path-rstrip-/
-_MIN = (
-    f"concat('//', regexp_replace(lower({_HOST}), '^www\\.', ''), "
-    f"regexp_replace({_PATH}, '/+$', ''))"
-)
+_HOST = _host_of("url")
+_PATH = _path_of("url")
+_MIN = _min_of("url")
 
 
 def _sl_sql(host_expr: str) -> str:
@@ -112,6 +126,146 @@ GROUP BY 1
 """
 
 
+# --- link graph (F10 / J9 / in-degree) --------------------------------------
+
+# href extraction: the batch analog of BeautifulSoup a[href]
+# (web_crawler.py:506-539); resolution implements the urljoin cases
+# the crawler actually hits: absolute http(s) passthrough,
+# root-relative, and dir-relative (no ../ traversal).
+_SCHEME = "regexp_extract(url, '^([a-z]+)://', 1)"
+_BASE_DIR = f"regexp_replace({_path_of('url')}, '[^/]*$', '')"
+_RESOLVE = (
+    "CASE WHEN raw_link LIKE 'http://%' OR raw_link LIKE 'https://%' THEN raw_link "
+    f"WHEN raw_link LIKE '/%' THEN concat({_SCHEME}, '://', {_HOST}, raw_link) "
+    "WHEN raw_link = '' THEN url "
+    f"ELSE concat({_SCHEME}, '://', {_HOST}, {_BASE_DIR}, raw_link) END"
+)
+_HREF_ALL = "regexp_extract_all({html_str}, 'href=\"([^\"]*)\"', 1)"
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, link) — one row per href, resolved to an absolute URL
+    (F10, web_crawler.py:506-539).  Narrow explode + projections, no
+    shuffle; at 10^12 pages this is a map-only stage."""
+    exploded = pages.select(
+        "url",
+        F.explode(
+            F.expr(_HREF_ALL.format(html_str="decode(html, 'UTF-8')"))
+        ).alias("raw_link"),
+    )
+    return exploded.select("url", F.expr(_RESOLVE).alias("link"))
+
+
+def link_graph(pages: DataFrame) -> DataFrame:
+    """(url, link, link_domain, link_min, is_valid, cross_domain) —
+    the edge table feeding in-degree (web_crawler.py:172-185) and the
+    frontier anti-join (web_crawler.py:728-741)."""
+    lh = _host_of("link")
+    valid = (
+        F.expr(lh).endswith(".nz")
+        & ~F.lower("link").rlike(f"\\.({BLACKLIST_EXT})$")
+    )
+    return extract_links(pages).select(
+        "url",
+        "link",
+        F.expr(lh).alias("link_domain"),
+        F.expr(_min_of("link")).alias("link_min"),
+        valid.cast("boolean").alias("is_valid"),
+        (F.expr(lh) != F.expr(_HOST)).cast("boolean").alias("cross_domain"),
+    )
+
+
+def domain_in_degree(pages: DataFrame) -> DataFrame:
+    """(domain, in_degree) — REAL in-degree from the link graph.
+
+    Batch analog of the crawler's enqueue-time accounting
+    (web_crawler.py:172-185): each distinct enqueued URL (by url_min,
+    the enqueue-dedup key) counts once toward its domain iff some
+    cross-domain page links to it (same-domain links never increment
+    in_degree; the reference's thread-order dependence is replaced by
+    the order-free 'any cross-domain parent' rule)."""
+    lg = link_graph(pages).filter(F.col("is_valid"))
+    per_url = lg.groupBy("link_min").agg(
+        F.min("link_domain").alias("domain"),
+        F.max(F.col("cross_domain").cast("int")).alias("xd"),
+    )
+    return (
+        per_url.filter(F.col("xd") == 1)
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("in_degree"))
+    )
+
+
+def frontier_new_urls(pages: DataFrame) -> DataFrame:
+    """(url_min, domain) — valid candidate links not yet crawled:
+    ``links LEFT ANTI JOIN seen ON url_min`` (J9,
+    web_crawler.py:728-741).  Both sides shuffle once on url_min."""
+    lg = link_graph(pages).filter(F.col("is_valid"))
+    seen = pages.select(F.expr(_MIN).alias("url_min")).distinct()
+    return (
+        lg.select(F.col("link_min").alias("url_min"), "link_domain")
+        .groupBy("url_min")
+        .agg(F.min("link_domain").alias("domain"))
+        .join(seen, "url_min", "left_anti")
+    )
+
+
+def _links_ctes(pages_rel: str) -> str:
+    """DuckDB CTEs 'lg' (the valid link graph) shared by the oracle
+    SQL of link_graph / domain_in_degree / frontier / crawl_priority."""
+    href = _HREF_ALL.format(html_str="DECODE(html)")
+    lh = _host_of("link")
+    return f"""
+exploded AS (
+    SELECT url, UNNEST({href}) AS raw_link
+    FROM ({pages_rel})),
+linked AS (
+    SELECT url, {_RESOLVE} AS link FROM exploded),
+lg AS (
+    SELECT url, link,
+           {lh} AS link_domain,
+           {_min_of("link")} AS link_min,
+           ({lh} LIKE '%.nz')
+               AND NOT regexp_matches(lower(link), '\\.({BLACKLIST_EXT})$')
+               AS is_valid,
+           {lh} <> {_HOST} AS cross_domain
+    FROM linked)"""
+
+
+def link_graph_sql(pages_rel: str) -> str:
+    return f"""
+WITH {_links_ctes(pages_rel)}
+SELECT url, link, link_domain, link_min, is_valid, cross_domain FROM lg
+"""
+
+
+def _in_degree_cte(pages_rel: str) -> str:
+    return f"""{_links_ctes(pages_rel)},
+per_url AS (
+    SELECT link_min, MIN(link_domain) AS domain,
+           MAX(CAST(cross_domain AS INT)) AS xd
+    FROM lg WHERE is_valid GROUP BY 1),
+indeg AS (
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS in_degree
+    FROM per_url WHERE xd = 1 GROUP BY 1)"""
+
+
+def domain_in_degree_sql(pages_rel: str) -> str:
+    return f"WITH {_in_degree_cte(pages_rel)} SELECT domain, in_degree FROM indeg"
+
+
+def frontier_new_urls_sql(pages_rel: str) -> str:
+    return f"""
+WITH {_links_ctes(pages_rel)},
+cand AS (
+    SELECT link_min AS url_min, MIN(link_domain) AS domain
+    FROM lg WHERE is_valid GROUP BY 1),
+seen AS (SELECT DISTINCT {_MIN} AS url_min FROM ({pages_rel}))
+SELECT url_min, domain FROM cand
+WHERE url_min NOT IN (SELECT url_min FROM seen)
+"""
+
+
 # --- priority scoring (M5) --------------------------------------------------
 # Bucket chains transcribed from web_crawler.py:213-328; weighted sum
 # 47*domain + 13*in_degree + 29*second_last at web_crawler.py:330-341.
@@ -162,15 +316,19 @@ def _priority_exprs() -> list[str]:
 def crawl_priority(pages: DataFrame) -> DataFrame:
     """Per-domain frontier priority (M5).  enqueue_count = pages seen
     for the domain − 1 (first sight enqueues at count 0,
-    web_crawler.py:172-185); in_degree is synthesized deterministically
-    (hash60(domain) % 100 — no link graph in the batch table);
-    sl_count = pages sharing the second-last label."""
+    web_crawler.py:172-185); in_degree is the REAL link-graph
+    in-degree (:func:`domain_in_degree`; crawled domains without
+    cross-domain in-links score 0); sl_count = pages sharing the
+    second-last label.  Scale shape: one groupBy(domain), one
+    broadcast of the (tiny) second-last rollup, one join against the
+    in-degree rollup — all keyed on domain."""
     base = (
         pages.select(F.expr(_HOST).alias("domain"))
         .groupBy("domain")
         .agg((F.count("*") - 1).cast("long").alias("enqueue_count"))
         .withColumn("second_last", F.expr(_sl_sql("domain")))
-        .withColumn("in_degree", hashing.hash60_col(F.col("domain")) % 100)
+        .join(domain_in_degree(pages), "domain", "left")
+        .fillna(0, subset=["in_degree"])
     )
     sl = base.groupBy("second_last").agg(
         (F.sum("enqueue_count") + F.count("*")).alias("sl_count")
@@ -181,12 +339,14 @@ def crawl_priority(pages: DataFrame) -> DataFrame:
 
 def crawl_priority_sql(pages_rel: str) -> str:
     return f"""
-WITH base AS (
+WITH {_in_degree_cte(pages_rel)},
+base AS (
     SELECT domain, enqueue_count,
            {_sl_sql("domain")} AS second_last,
-           {hashing.hash60_sql("domain")} % 100 AS in_degree
+           COALESCE(i.in_degree, 0) AS in_degree
     FROM (SELECT {_HOST} AS domain, COUNT(*) - 1 AS enqueue_count
-          FROM ({pages_rel}) GROUP BY 1)),
+          FROM ({pages_rel}) GROUP BY 1)
+    LEFT JOIN indeg i USING (domain)),
 sl AS (
     SELECT second_last,
            CAST(SUM(enqueue_count) + COUNT(*) AS BIGINT) AS sl_count

@@ -30,9 +30,24 @@ _URL_SQL = (
     "concat('https://www.', source, cast(doc_id % 97 as string),"
     "'.example.nz/docs/', cast(doc_id as string), '.html?session=abc#frag')"
 )
+# Three anchor links per page feed the link-graph operators (F10/J9,
+# web_crawler.py:506-539): a root-relative link (urljoin case), a
+# cross-domain absolute link (drives real in-degree), and a skewed
+# hub link (7 hub domains, head-of-distribution case).
+_LINK_REL_SQL = "concat('/docs/', cast((doc_id * 7 + 13) % 500 as string), '.html')"
+_LINK_ABS_SQL = (
+    "concat('https://www.', source, cast((doc_id + 1) % 97 as string),"
+    "'.example.nz/docs/', cast(doc_id + 1 as string), '.html?ref=', "
+    "cast(doc_id as string))"
+)
+_LINK_HUB_SQL = "concat('https://hub', cast(doc_id % 7 as string), '.example.nz/index.html')"
 _HTML_SQL = (
     "concat('<html><head><title>doc ', cast(doc_id as string),"
-    "'</title></head><body><p>', text, '</p></body></html>')"
+    "'</title></head><body><p>', text, '</p>',"
+    f"'<a href=\"', {_LINK_REL_SQL}, '\">r</a>',"
+    f"'<a href=\"', {_LINK_ABS_SQL}, '\">a</a>',"
+    f"'<a href=\"', {_LINK_HUB_SQL}, '\">h</a>',"
+    "'</body></html>')"
 )
 _EXTRACT_RE = "<p>(.*)</p>"
 

@@ -1,0 +1,79 @@
+"""Link extraction / in-degree / frontier semantics on hand-built
+pages (reference: web_crawler.py:506-539 extract_links+urljoin,
+:172-185 in-degree accounting, :728-741 frontier dedup)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.operators import weblog
+
+
+def _pages(spark, rows):
+    ts = datetime.datetime(2024, 1, 1)
+    data = [(url, ts, html.encode(), "", "en") for url, html in rows]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def linkpages(spark):
+    return _pages(spark, [
+        ("https://www.a.example.nz/dir/page.html?q=1#f",
+         '<a href="https://b.example.nz/x.html">abs</a>'
+         '<a href="/root.html">rootrel</a>'
+         '<a href="sub.html">dirrel</a>'
+         '<a href="">empty</a>'),
+        ("https://b.example.nz/x.html",
+         '<a href="https://b.example.nz/y.html">samedom</a>'
+         '<a href="https://c.example.com/off.html">offsite</a>'
+         '<a href="https://www.a.example.nz/dir/page.html">back</a>'),
+    ])
+
+
+def test_extract_links_urljoin_cases(linkpages):
+    links = {(r["url"], r["link"]) for r in weblog.extract_links(linkpages).collect()}
+    base = "https://www.a.example.nz/dir/page.html?q=1#f"
+    assert (base, "https://b.example.nz/x.html") in links          # absolute
+    assert (base, "https://www.a.example.nz/root.html") in links   # root-relative
+    assert (base, "https://www.a.example.nz/dir/sub.html") in links  # dir-relative
+    assert (base, base) in links                                   # empty href = self
+    assert len([p for p in links if p[0] == base]) == 4
+
+
+def test_link_graph_validity_and_cross_domain(linkpages):
+    lg = {r["link"]: r for r in weblog.link_graph(linkpages)
+          .filter(F.col("url") == "https://b.example.nz/x.html").collect()}
+    assert lg["https://c.example.com/off.html"]["is_valid"] is False  # not .nz
+    assert lg["https://b.example.nz/y.html"]["cross_domain"] is False
+    assert lg["https://www.a.example.nz/dir/page.html"]["cross_domain"] is True
+
+
+def test_in_degree_counts_cross_domain_distinct_urls(linkpages):
+    indeg = {r["domain"]: r["in_degree"]
+             for r in weblog.domain_in_degree(linkpages).collect()}
+    # b.example.nz: x.html linked cross-domain from a; y.html only
+    # same-domain → not counted
+    assert indeg["b.example.nz"] == 1
+    # a's page linked back cross-domain from b (www-stripped min dedup)
+    assert indeg.get("www.a.example.nz") == 1
+
+
+def test_frontier_anti_join_excludes_seen(linkpages):
+    out = {r["url_min"] for r in weblog.frontier_new_urls(linkpages).collect()}
+    # crawled pages (by url_min) must not reappear
+    assert "//b.example.nz/x.html" not in out
+    assert "//a.example.nz/dir/page.html" not in out
+    # new candidates do
+    assert "//b.example.nz/y.html" in out
+    assert "//a.example.nz/root.html" in out
+    assert "//a.example.nz/dir/sub.html" in out
+
+
+def test_crawl_priority_uses_real_in_degree(linkpages):
+    pri = {r["domain"]: r for r in weblog.crawl_priority(linkpages).collect()}
+    assert pri["b.example.nz"]["in_degree"] == 1
+    # bucket: in_degree 1 → priority 9 (web_crawler.py:213-341 chain)
+    assert pri["b.example.nz"]["in_degree_pri"] == 9
