@@ -64,11 +64,12 @@ def _built(spark: SparkSession, sf_dir: str):
 
 # --- SQL oracle building blocks (DuckDB) -----------------------------------
 
-_POSTINGS_CTE = """
+def _postings_cte(docs_rel: str = "documents") -> str:
+    return f"""
 postings AS (
     SELECT doc_id, tok AS term, CAST(COUNT(*) AS INT) AS tf
     FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
-          FROM documents)
+          FROM {docs_rel})
     WHERE tok <> ''
     GROUP BY doc_id, tok
 ),
@@ -76,7 +77,7 @@ doc_stats AS (
     SELECT d.doc_id,
            CAST(octet_length(ENCODE(d.text)) AS INT) AS byte_len,
            COALESCE(p.n, 0) AS distinct_terms
-    FROM documents d
+    FROM {docs_rel} d
     LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY doc_id) p
       USING (doc_id)
 ),
@@ -90,6 +91,10 @@ lexicon AS (
     FROM postings GROUP BY term
 )
 """
+
+
+_POSTINGS_CTE = _postings_cte()
+_SUBSET_REL = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
 
 
 def _bm25_oracle(query_terms: list[str], conjunctive: bool, k: int) -> str:
@@ -172,12 +177,46 @@ def _q_bm25_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
 
 
+def _q_postings_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — subset semi-join build (HW3's 1M-doc subset runs)."""
+    docs = _docs(spark, sf_dir)
+    subset = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    return ib.build_postings(ib.subset_filter(docs, subset))
+
+
+def _q_bm25_hw2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HW2 mode (SURVEY §2.11): byte-length norm, top-15, HW2 query
+    separator table — EngineConfig().hw2() end-to-end at the gate."""
+    cfg2 = CFG.hw2()
+    docs = _docs(spark, sf_dir)
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    stats = ib.corpus_stats(doc_stats, cfg2)
+    lexicon = ib.build_lexicon(postings)
+    res = qe.search(spark, postings, lexicon, doc_stats, stats,
+                    FLAGSHIP_QUERY, cfg2, conjunctive=False)
+    return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _q_trec_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — 6-column TREC run projection over the batch query set."""
+    _, postings, doc_stats, stats, lexicon = _built(spark, sf_dir)
+    qt = qe.queries_to_terms(spark, BATCH_QUERIES)
+    res = qe.score_query_set(postings, qt, lexicon, doc_stats, stats, CFG)
+    return em.trec_run(res)
+
+
+def _q_trec_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — corpus-level MAP/MRR/NDCG/Recall means."""
+    return em.trec_summary(_q_trec_metrics(spark, sf_dir))
+
+
 def _q_webpages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = webpages.synthesize(_docs(spark, sf_dir))
     return webpages.extract_text(pages).select("url", "extracted", "lang")
 
 
-_BATCH_ORACLE = f"""
+_BATCH_RANKED = f"""
 WITH {_POSTINGS_CTE},
 q(query_id, term) AS (VALUES
     ('q0','data'),('q0','fast'),('q0','join'),
@@ -194,11 +233,42 @@ scored AS (
     CROSS JOIN stats s
     GROUP BY q.query_id, p.doc_id
 )
-SELECT query_id, doc_id, ROUND(score, 6) AS score, rank FROM (
-    SELECT *, CAST(ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-    FROM scored)
-WHERE rank <= {CFG.top_k}
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+"""
+
+_BATCH_ORACLE = (f"SELECT query_id, doc_id, ROUND(score, 6) AS score, rank "
+                 f"FROM ({_BATCH_RANKED}) WHERE rank <= {CFG.top_k}")
+
+
+def _bm25_oracle_hw2(query_terms: list[str], k: int) -> str:
+    """HW2 semantics (SURVEY §2.11): byte-length norm, top-15."""
+    cfg2 = CFG.hw2()
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    score = bm25_sql("p.tf", "l.df", "d.byte_len",
+                     "s2.total_docs", "s2.avg_len", cfg2)
+    return f"""
+WITH {_POSTINGS_CTE},
+stats2 AS (
+    SELECT COUNT(*) AS total_docs,
+           AVG(CAST(byte_len AS DOUBLE)) AS avg_len
+    FROM doc_stats),
+q(term) AS (VALUES {vals}),
+scored AS (
+    SELECT p.doc_id, SUM({score}) AS score
+    FROM postings p
+    JOIN q USING (term)
+    JOIN lexicon l ON l.term = p.term
+    JOIN doc_stats d ON d.doc_id = p.doc_id
+    CROSS JOIN stats2 s2
+    GROUP BY p.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
 """
 
 
@@ -297,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_conjunctive": _bm25_query(conjunctive=True),
         "bm25_batch": _q_bm25_batch,
         "bm25_compressed": _q_bm25_compressed,
+        "bm25_hw2": _q_bm25_hw2,
+        "postings_subset": _q_postings_subset,
         "webpages_extract": _q_webpages_extract,
         "streaming_lexicon": _q_streaming_lexicon,
         # --- text analysis ---
@@ -320,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rerank + evaluation ---
         "bm25_rerank": _q_bm25_rerank,
         "trec_metrics": _q_trec_metrics,
+        "trec_run": _q_trec_run,
+        "trec_summary": _q_trec_summary,
         # --- crawl analytics ---
         "url_features": lambda s, d: weblog.url_features(
             webpages.synthesize(_docs(s, d))),
@@ -354,6 +428,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conjunctive": _bm25_oracle(terms, True, CFG.top_k),
         "bm25_batch": _BATCH_ORACLE,
         "bm25_compressed": _bm25_oracle(terms, False, CFG.top_k),
+        "bm25_hw2": _bm25_oracle_hw2(terms, CFG.hw2().top_k),
+        "postings_subset": (f"WITH {_postings_cte(_SUBSET_REL)} "
+                            "SELECT doc_id, term, tf FROM postings"),
         "webpages_extract": f"""
             SELECT url, regexp_extract(DECODE(html), '<p>(.*)</p>', 1) AS extracted, lang
             FROM ({webpages.synthesize_sql("documents")})
@@ -374,6 +451,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rerank": rerank.bm25_rerank_sql(
             _POSTINGS_CTE, rerank_terms, CFG, topn=50, topk=10),
         "trec_metrics": _trec_oracle(),
+        "trec_run": em.trec_run_sql(_BATCH_RANKED, CFG.top_k),
+        "trec_summary": em.trec_summary_sql(_trec_oracle()),
         "url_features": weblog.url_features_sql(_PAGES_REL),
         "domain_stats": weblog.domain_stats_sql(_PAGES_REL),
         "crawl_priority": weblog.crawl_priority_sql(_PAGES_REL),

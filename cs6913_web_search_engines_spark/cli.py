@@ -51,6 +51,9 @@ def cmd_build(args) -> None:
 
         docs = webpages.mint_doc_ids_scalable(webpages.extract_text(docs)
                                               .withColumnRenamed("extracted", "text"))
+    if args.subset:
+        # S2 — HW3-style subset build (IndexBuilder.cpp:126-149)
+        docs = ib.subset_filter(docs, spark.read.parquet(args.subset))
     stats = ib.build_full(
         spark, docs, args.out, cfg,
         lineage={"input": args.input}, checkpoint_runs=args.runs,
@@ -104,11 +107,9 @@ def cmd_batch(args) -> None:
         queries, cfg, conjunctive=(args.mode == "and"),
     )
     # 6-col TREC run rows (reference query_bm25.py:42-47)
-    run = res.select(
-        "query_id", F.lit("Q0").alias("q0"), F.col("doc_id").cast("string"),
-        "rank", F.format_number("score", 4).alias("score"),
-        F.lit(args.run_tag).alias("tag"),
-    )
+    from cs6913_web_search_engines_spark.operators import evalmetrics as em
+
+    run = em.trec_run(res, run_tag=args.run_tag)
     run.write.mode("overwrite").csv(args.out, sep="\t")
     print(f"wrote {res.count()} run rows to {args.out}")
 
@@ -123,6 +124,9 @@ def main(argv=None) -> None:
     b.add_argument("--out", required=True)
     b.add_argument("--shards", type=int, default=8)
     b.add_argument("--segment-docs", type=int, default=1 << 16, dest="segment_docs")
+    b.add_argument("--subset", default=None,
+                   help="parquet with a doc_id column: build over this "
+                        "doc subset only (HW3 IndexBuilder.cpp:126-149)")
     b.add_argument("--runs", action="store_true",
                    help="checkpoint posting runs (resumable stage 1)")
     b.add_argument("--fused", action="store_true",

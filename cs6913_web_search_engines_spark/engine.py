@@ -74,6 +74,9 @@ class QueryEngine:
                 self.stats, queries, self.cfg, conjunctive=conjunctive,
                 seed_segs=seed_segs,
                 broadcast_doc_stats=self.broadcast_doc_stats,
+                # survivor keys grow with corpus segments — same
+                # broadcastability regime as the page table
+                broadcast_keys=self.broadcast_doc_stats,
             )
         return query_exec.search_compressed(
             self.spark, self.index_path, self.lexicon, self.doc_stats,

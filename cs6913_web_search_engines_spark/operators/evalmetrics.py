@@ -91,6 +91,55 @@ def trec_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def trec_run(results: DataFrame, run_tag: str = "cs6913-spark") -> DataFrame:
+    """S13 — the 6-column TREC run projection ``qid Q0 docid rank
+    score run`` (reference ``query_bm25.py:42-47``,
+    ``query_hnsw.py:74-88``); write with ``.write.csv(sep='\\t')`` for
+    the on-disk run file."""
+    return results.select(
+        F.col("query_id").alias("qid"),
+        F.lit("Q0").alias("q0"),
+        F.col("doc_id").cast("string").alias("docid"),
+        F.col("rank").alias("rank"),
+        F.round("score", 4).alias("score"),
+        F.lit(run_tag).alias("run"),
+    )
+
+
+def trec_run_sql(ranked_rel: str, k: int, run_tag: str = "cs6913-spark") -> str:
+    """Oracle over a relation with (query_id, doc_id, score, rank)."""
+    return f"""
+SELECT query_id AS qid, 'Q0' AS q0, CAST(doc_id AS VARCHAR) AS docid,
+       rank, ROUND(score, 4) AS score, '{run_tag}' AS run
+FROM ({ranked_rel}) WHERE rank <= {k}
+"""
+
+
+def trec_summary(metrics: DataFrame) -> DataFrame:
+    """A10 — corpus-level metric means (``trec_eval.py:52-59``): mean
+    over queries that have qrels (pytrec_eval averages exactly those;
+    zero-qrel queries carry NULL metrics here and are excluded)."""
+    return metrics.filter(F.col("n_rel") > 0).agg(
+        F.count("*").cast("int").alias("n_queries"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("ap"), 6).alias("mean_ap"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+    )
+
+
+def trec_summary_sql(metrics_sql: str) -> str:
+    return f"""
+SELECT CAST(COUNT(*) AS INT) AS n_queries,
+       ROUND(AVG(rr), 6) AS mrr,
+       ROUND(AVG(ap), 6) AS mean_ap,
+       ROUND(AVG(ndcg), 6) AS mean_ndcg,
+       ROUND(AVG(recall), 6) AS mean_recall
+FROM ({metrics_sql})
+WHERE n_rel > 0
+"""
+
+
 def trec_metrics_sql(run_cte: str, qrels_cte: str, k: int = 10) -> str:
     """DuckDB oracle over CTEs named ``run`` (query_id, doc_id, rank)
     and ``qrels`` (query_id, doc_id, rel)."""

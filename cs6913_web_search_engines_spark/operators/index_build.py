@@ -51,6 +51,18 @@ def build_postings(documents: DataFrame) -> DataFrame:
     )
 
 
+def subset_filter(documents: DataFrame, subset_ids: DataFrame) -> DataFrame:
+    """S2 — build over a doc-id subset (HW3's 1M-doc subset runs,
+    ``ranking_optimizer/src/IndexBuilder.cpp:126-149,169-176``): the
+    reference loads the id set into a hash set and skips lines; here
+    it is a broadcast left-semi join, map-side at any corpus size as
+    long as the id list fits a broadcast (use a shuffle semi-join
+    above that by dropping the hint)."""
+    return documents.join(
+        F.broadcast(subset_ids.select("doc_id")), "doc_id", "left_semi"
+    )
+
+
 def build_doc_stats(documents: DataFrame, postings: DataFrame) -> DataFrame:
     """Page-table analog: (doc_id, url?, byte_len, distinct_terms).
 
@@ -63,7 +75,10 @@ def build_doc_stats(documents: DataFrame, postings: DataFrame) -> DataFrame:
     counts = postings.groupBy("doc_id").agg(
         F.count("*").alias("distinct_terms")
     )
-    cols = [F.col("doc_id"), F.octet_length("text").alias("byte_len")]
+    # coalesce: null text → byte_len 0, matching the fused kernel
+    # (fused≡staged identity must hold on null-text docs too)
+    cols = [F.col("doc_id"),
+            F.coalesce(F.octet_length("text"), F.lit(0)).alias("byte_len")]
     if "url" in documents.columns:
         cols.insert(1, F.col("url"))
     return (
@@ -110,6 +125,25 @@ def build_lexicon(postings: DataFrame) -> DataFrame:
 # Posting runs: checkpointed stage-1 output with manifests (resumable)
 # ---------------------------------------------------------------------------
 
+def _bucket_counts(path: str) -> dict[int, int]:
+    """{bucket: n_rows} by summing parquet footer row counts per
+    ``run=<bucket>`` directory — metadata-only, no data scan."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for name in os.listdir(path):
+        if not name.startswith("run="):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        total = 0
+        d = os.path.join(path, name)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        counts[bucket] = total
+    return counts
+
+
 def run_bucket(cfg: EngineConfig = DEFAULT):
     """Deterministic run bucket for a term: hash-mod, like the final
     shard but over `run_partitions` — each bucket is one resumable
@@ -151,13 +185,9 @@ def write_runs(
         .parquet(path)
     )
     elapsed = time.time() - t0
-
-    spark = postings.sparkSession
-    counts = {
-        r["run"]: r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("run").agg(F.count("*").alias("n")).collect()
-    }
+    # per-bucket row counts from parquet FOOTERS (driver-side metadata
+    # read) — no second scan of the runs table
+    counts = _bucket_counts(path)
     manifest = {
         "format": "postings-runs-v1",
         "lineage": lineage or {},
@@ -213,6 +243,12 @@ def build_full(
     from pyspark.sql import Observation
 
     from cs6913_web_search_engines_spark.operators import block_codec as bc
+
+    if fused and checkpoint_runs:
+        raise ValueError(
+            "--fused is incompatible with --runs: the fused single-pass "
+            "build has no posting-run stage to checkpoint"
+        )
 
     t0 = time.time()
     run_manifest = None

@@ -103,12 +103,18 @@ def search_pruned(
     conjunctive: bool = False,
     seed_segs: int = 2,
     broadcast_doc_stats: bool = True,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index, decoding only
     blocks whose bound can still beat the seeded threshold.
 
     Returns (query_id, doc_id, score, rank) — rank-identical to
     :func:`query_exec.search_compressed`.
+
+    ``broadcast_keys``: the survivor block-key set grows with corpus
+    segments; set False beyond broadcast size (same regime as
+    ``broadcast_doc_stats``) and the key join shuffles instead (AQE
+    still broadcasts it at runtime when it measures small).
     """
     total_docs = int(stats["total_docs"])
     min_len = int(stats.get("min_len", 1))
@@ -155,8 +161,10 @@ def search_pruned(
         keys = block_keys.select(
             "query_id", "term", "seg", "block_id"
         ).dropDuplicates()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
         blocks = spark.read.parquet(index_path).join(
-            F.broadcast(keys), ["term", "seg", "block_id"]
+            keys, ["term", "seg", "block_id"]
         )
         postings = block_codec.decode_postings(
             blocks, cfg, extra_cols=("query_id",)

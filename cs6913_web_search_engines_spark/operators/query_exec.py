@@ -113,8 +113,13 @@ def search(
     cfg: EngineConfig = DEFAULT,
     conjunctive: bool = False,
 ) -> DataFrame:
-    """Single interactive query (console-loop analog, main.cpp:147-150)."""
-    qt = queries_to_terms(spark, {"q0": query})
+    """Single interactive query (console-loop analog, main.cpp:147-150).
+
+    The query separator table follows the engine mode: HW2 queries
+    keep ``_`` intact (QueryProcessor.cpp:88), HW3 splits on it
+    (ranking_optimizer/src/QueryProcessor.cpp:116) — SURVEY §2.11."""
+    mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
+    qt = queries_to_terms(spark, {"q0": query}, mode)
     return score_query_set(
         postings, qt, lexicon, doc_stats, stats, cfg, conjunctive
     ).drop("query_id")

@@ -30,9 +30,11 @@ from cs6913_web_search_engines_spark.operators import query_exec as qe
 from cs6913_web_search_engines_spark.operators.similarity import cosine_expr, cosine_sql
 
 
-def query_vectors(embeddings: DataFrame, query_ids: list[str]) -> DataFrame:
-    """(query_id, qv) — deterministic stand-in query embeddings."""
-    n = embeddings.count()
+def query_vectors(embeddings: DataFrame, query_ids: list[str],
+                  n_vectors: int | None = None) -> DataFrame:
+    """(query_id, qv) — deterministic stand-in query embeddings.
+    Pass ``n_vectors`` when known to skip the count job."""
+    n = embeddings.count() if n_vectors is None else n_vectors
     spark = embeddings.sparkSession
     qids = spark.createDataFrame([(q,) for q in query_ids], "query_id string")
     qids = qids.withColumn("vec_id", hashing.hash60_col(F.col("query_id")) % n)
@@ -52,6 +54,7 @@ def bm25_rerank(
     cfg: EngineConfig = DEFAULT,
     topn: int = 100,
     topk: int = 10,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, bm25, sim, rank) — BM25 top-N → cosine
     rerank → top-k (sim DESC, doc_id ASC)."""
@@ -59,7 +62,7 @@ def bm25_rerank(
     cands = qe.score_query_set(
         postings, qt, lexicon, doc_stats, stats, replace(cfg, top_k=topn)
     ).select("query_id", "doc_id", F.col("score").alias("bm25"))
-    qv = F.broadcast(query_vectors(embeddings, sorted(queries)))
+    qv = F.broadcast(query_vectors(embeddings, sorted(queries), n_vectors))
     joined = (
         cands.join(embeddings.withColumnRenamed("vec_id", "doc_id")
                    .select("doc_id", "embedding"), "doc_id")

@@ -143,8 +143,11 @@ def test_fused_build_equals_staged(spark, documents, tmp_path):
 
     cfg = EngineConfig(segment_docs=128)
     a, b = str(tmp_path / "fused"), str(tmp_path / "staged")
-    ib.build_full(spark, documents, a, cfg, checkpoint_runs=False, fused=True)
-    ib.build_full(spark, documents, b, cfg, checkpoint_runs=False, fused=False)
+    # include a null-text doc: both paths must agree (byte_len 0)
+    nulldoc = spark.createDataFrame([(999999, None)], "doc_id long, text string")
+    docs = documents.select("doc_id", "text").unionByName(nulldoc)
+    ib.build_full(spark, docs, a, cfg, checkpoint_runs=False, fused=True)
+    ib.build_full(spark, docs, b, cfg, checkpoint_runs=False, fused=False)
     ra = sorted(map(repr, spark.read.parquet(a + "/index").collect()))
     rb = sorted(map(repr, spark.read.parquet(b + "/index").collect()))
     assert ra == rb
@@ -156,3 +159,24 @@ def test_fused_build_equals_staged(spark, documents, tmp_path):
     lx = sorted(map(tuple, spark.read.parquet(a + "/lexicon").collect()))
     ly = sorted(map(tuple, spark.read.parquet(b + "/lexicon").collect()))
     assert lx == ly
+
+
+def test_fused_with_runs_raises(spark, documents, tmp_path):
+    with pytest.raises(ValueError, match="incompatible"):
+        ib.build_full(spark, documents, str(tmp_path / "x"),
+                      EngineConfig(), checkpoint_runs=True, fused=True)
+
+
+def test_subset_build_equals_filtered_full(built, documents):
+    """S2: postings built over a doc-id subset == full postings
+    restricted to the subset (IndexBuilder.cpp:126-149 semantics)."""
+    postings, *_ = built
+    subset = documents.select("doc_id").filter(F.col("doc_id") % 3 == 1)
+    sub_postings = ib.build_postings(ib.subset_filter(documents, subset))
+    got = set(map(tuple, sub_postings.select("doc_id", "term", "tf").collect()))
+    want = set(
+        map(tuple,
+            postings.join(subset, "doc_id", "left_semi")
+            .select("doc_id", "term", "tf").collect())
+    )
+    assert got == want and got

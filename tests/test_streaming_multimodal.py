@@ -38,6 +38,38 @@ def test_streaming_checkpoint_resume_is_idempotent(spark, documents, tmp_path):
     assert s2["n_batches"] == s1["n_batches"]
 
 
+def test_incremental_finalize_only_encodes_new_runs(spark, documents, tmp_path):
+    # First drain sees 2 files; new files then land and a second drain
+    # must (a) encode ONLY the new runs, (b) still yield the batch
+    # lexicon over the full corpus.
+    import os
+    import shutil
+
+    half_a = documents.filter(F.col("doc_id") % 2 == 0)
+    half_b = documents.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "drops")
+    stage = str(tmp_path / "stage_b")
+    half_a.repartition(2).write.parquet(src)
+    half_b.repartition(2).write.parquet(stage)
+    out = str(tmp_path / "idx")
+
+    s1 = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert s1["n_batches"] == 2 and s1["n_new_runs"] == 2
+    for f in os.listdir(stage):                # new WARC drop lands
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stage, f), os.path.join(src, f))
+    s2 = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert s2["n_batches"] == 4
+    assert s2["n_new_runs"] == 2               # only the new runs encoded
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple, ib.build_lexicon(ib.build_postings(documents)).collect()))
+    assert got == want
+    # a third drain with nothing new encodes nothing
+    s3 = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert s3["n_new_runs"] == 0
+    assert s3["n_postings"] == s2["n_postings"]
+
+
 def test_media_features_match_numpy(spark, documents):
     media = mm.synthesize_media(documents.limit(20))
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
