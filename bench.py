@@ -104,11 +104,18 @@ def main() -> None:
     eng = QueryEngine(spark, OUT, cfg)
     t_load = time.time() - t0
 
-    # batch query set through the compressed index (one job)
+    # batch query set, planner-selected path (local fast path when the
+    # candidate volume is collect-sized, distributed beyond)
     t0 = time.time()
     res = eng.search(BATCH_QUERIES)
     n_res = res.count()
     t_batch = time.time() - t0
+
+    # same batch forced through the distributed compressed path (the
+    # 10^12-doc shape: scan → decode kernel → agg → window)
+    t0 = time.time()
+    eng.search(BATCH_QUERIES, local=False).count()
+    t_batch_dist = time.time() - t0
 
     # single-query latency p50 (5 repeats, warm JVM)
     lat = []
@@ -118,7 +125,7 @@ def main() -> None:
         lat.append(time.time() - t0)
     p50 = statistics.median(lat)
 
-    total = t_build + t_fused + t_load + t_batch + sum(lat)
+    total = t_build + t_fused + t_load + t_batch + t_batch_dist + sum(lat)
     out = {
         "metric": "index-build + bm25-query wall time (sf docs x replicate)",
         "value": round(total, 3),
@@ -128,6 +135,7 @@ def main() -> None:
             "build_fused": round(t_fused, 3),
             "engine_preload": round(t_load, 3),
             "query_batch8": round(t_batch, 3),
+            "query_batch8_dist": round(t_batch_dist, 3),
             "query_single_p50": round(p50, 3),
         },
         "sf": SF_DIR.rstrip("/").split("sf")[-1],

@@ -2,10 +2,21 @@
 
 ``QueryEngine`` is the analog of the reference server's startup
 preload (``main.cpp:99-108`` pins lexicon + page table in RAM,
-10.85 s) — lexicon and doc_stats are read once and cached; stats.json
-is loaded driver-side.  Queries then run either through the
-exhaustive compressed path or the block-max pruned fast path
-(operators/pruning.py), both rank-identical.
+10.85 s):
+
+* lexicon and doc_stats DataFrames are read once and cached;
+* the index DataFrame is planned once (no per-query directory
+  re-listing);
+* when the page table fits in RAM (the reference's own regime), the
+  doc-length column is collected into a dense int32 array and
+  broadcast — the decode kernel then attaches ``doc_len`` inline and
+  the scorer needs NO doc_stats join at query time.  Beyond that
+  (10^12 docs) the engine falls back to the shuffle join, same as
+  ``broadcast_doc_stats`` auto-disabling.
+
+Queries then run either through the exhaustive compressed path or the
+block-max pruned fast path (operators/pruning.py), both
+rank-identical.
 """
 
 from __future__ import annotations
@@ -13,16 +24,34 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
-from cs6913_web_search_engines_spark.operators import pruning, query_exec
+from cs6913_web_search_engines_spark.functions import tokenizer, varbyte
+from cs6913_web_search_engines_spark.operators import (
+    block_codec, pruning, query_exec,
+)
+
+# Above this many docs the dense norms array stops being a sane
+# executor-RAM resident (int32 → 4 bytes/doc; 64 M ≈ 256 MB).
+NORMS_IN_RAM_MAX_DOCS = 64_000_000
+# Candidate-posting volume below which the driver-local executor wins:
+# collecting the few candidate blocks (JVM-only scan, no Python
+# workers) and scoring them with numpy against the resident norms
+# array beats scheduling a distributed decode — the interactive
+# analog of Spark's own local fast paths (LocalTableScan /
+# TakeOrderedAndProject), and exactly the reference's single-node
+# scoring model (QueryProcessor.cpp:459-509).
+LOCAL_EXEC_MAX_POSTINGS = 5_000_000
 
 
 class QueryEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  cfg: EngineConfig = DEFAULT, cache: bool = True,
-                 broadcast_doc_stats: bool | None = None):
+                 broadcast_doc_stats: bool | None = None,
+                 norms_in_ram: bool | None = None):
         self.spark = spark
         self.index_path = os.path.join(index_dir, "index")
         self.cfg = cfg
@@ -37,36 +66,153 @@ class QueryEngine:
         self.broadcast_doc_stats = broadcast_doc_stats
         self.lexicon = spark.read.parquet(os.path.join(index_dir, "lexicon"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self.blocks = spark.read.parquet(self.index_path)
         if cache:
             self.lexicon = self.lexicon.cache()
             self.doc_stats = self.doc_stats.cache()
             # materialize now — the reference pays its preload up front
             self.lexicon.count()
             self.doc_stats.count()
+        self.len_lookup = None
+        if norms_in_ram is None:
+            norms_in_ram = self.stats["total_docs"] <= NORMS_IN_RAM_MAX_DOCS
+        if norms_in_ram:
+            self.len_lookup = self._build_len_lookup()
+        # Hot-term caches (immutable index → safe): per-term df memo
+        # and a bounded decoded-posting-list cache — the engine-level
+        # analog of the reference's mmap/OS page cache keeping hot
+        # lists resident (QueryProcessor.cpp:110-169).
+        self._df_memo: dict[str, int] = {}
+        self._postings_cache: dict[str, list] = {}
+        self._postings_cache_n = 0
+
+    def _build_len_lookup(self):
+        """Dense doc_id → doc_len int32 array, broadcast once (the
+        reference's RAM page table, PageTable.cpp:75-106).  Falls back
+        to None (join path) when doc ids are too sparse for a dense
+        array."""
+        len_col = ("distinct_terms" if self.cfg.length_norm == "hw3"
+                   else "byte_len")
+        pdf = self.doc_stats.select("doc_id", len_col).toPandas()
+        if len(pdf) == 0:
+            return None
+        max_id = int(pdf["doc_id"].max())
+        if max_id + 1 > 4 * max(len(pdf), 1) or max_id >= 1 << 31:
+            return None  # sparse id space — dense array would balloon
+        arr = np.zeros(max_id + 1, dtype=np.int32)
+        arr[pdf["doc_id"].to_numpy(np.int64)] = pdf[len_col].to_numpy(np.int32)
+        return self.spark.sparkContext.broadcast(arr)
+
+    def _search_local(self, queries: dict[str, str], dfs: dict[str, int],
+                      conjunctive: bool, mode: str) -> DataFrame:
+        """Driver-local exact top-k: one JVM-only job collects the
+        candidate block rows; VarByte decode + BM25 + top-k run in
+        numpy against the resident norms array.  Rank-identical to the
+        distributed path (same formula, same tie-break); used only
+        when the candidate volume is collect-sized."""
+        all_terms = sorted({t for q in queries.values()
+                            for t in tokenizer.split_query(q, mode)})
+        missing = [t for t in all_terms if t not in self._postings_cache]
+        if missing:
+            rows = (
+                self.blocks
+                .filter(block_codec.term_filter(self.spark, missing, self.cfg))
+                .select("term", "n_postings", "doc_gaps", "tfs")
+                .collect()
+            )
+            chunk = self.cfg.postings_per_chunk
+            fetched = sum(dfs.get(t, 0) for t in missing)
+            if self._postings_cache_n + fetched > LOCAL_EXEC_MAX_POSTINGS * 4:
+                self._postings_cache.clear()
+                self._postings_cache_n = 0
+            for t in missing:           # negative entries too: a term
+                self._postings_cache.setdefault(t, [])  # absent from
+            self._postings_cache_n += fetched           # the index
+            for r in rows:
+                n = int(r["n_postings"])
+                gaps = varbyte.decode(bytes(r["doc_gaps"]), n)
+                ids = varbyte.delta_decode(gaps, chunk)
+                tfs = varbyte.decode(bytes(r["tfs"]), n)
+                self._postings_cache[r["term"]].append((ids, tfs))
+        per_term = {t: self._postings_cache[t]
+                    for t in all_terms if self._postings_cache[t]}
+        lens = self.len_lookup.value
+        n_docs = float(self.stats["total_docs"])
+        avg = float(self.stats["avg_len"])
+        k1, b = self.cfg.k1, self.cfg.b
+        out = []
+        for qid in sorted(queries):
+            terms = tokenizer.split_query(queries[qid], mode)
+            ids_all, contrib_all = [], []
+            for t in terms:
+                if t not in per_term:
+                    continue
+                ids = np.concatenate([x[0] for x in per_term[t]])
+                tfs = np.concatenate([x[1] for x in per_term[t]]).astype(np.float64)
+                df = float(dfs.get(t, 0))
+                idf = np.log((n_docs - df + 0.5) / (df + 0.5))
+                dl = np.zeros(ids.size, dtype=np.float64)
+                m = ids < lens.size
+                dl[m] = lens[ids[m]]
+                K = k1 * ((1.0 - b) + b * dl / avg)
+                ids_all.append(ids)
+                contrib_all.append(idf * (k1 + 1.0) * tfs / (K + tfs))
+            if not ids_all:
+                continue
+            cat = np.concatenate(ids_all)
+            uids, inv = np.unique(cat, return_inverse=True)
+            scores = np.bincount(inv, weights=np.concatenate(contrib_all))
+            if conjunctive:
+                keep = np.bincount(inv) == len(terms)
+                uids, scores = uids[keep], scores[keep]
+            if uids.size == 0:
+                continue
+            order = np.lexsort((uids, -scores))[: self.cfg.top_k]
+            for rank, i in enumerate(order, 1):
+                out.append((qid, int(uids[i]), float(scores[i]), rank))
+        import pandas as pd
+
+        pdf = pd.DataFrame(out, columns=["query_id", "doc_id", "score", "rank"])
+        if len(pdf) == 0:
+            pdf = pdf.astype({"query_id": object, "doc_id": "int64",
+                              "score": "float64", "rank": "int32"})
+        # pandas→Arrow conversion: ~8× cheaper than the row-list path
+        return self.spark.createDataFrame(
+            pdf, "query_id string, doc_id long, score double, rank int"
+        )
 
     def search(self, queries: dict[str, str], conjunctive: bool = False,
-               pruned: bool | None = None, seed_segs: int = 2) -> DataFrame:
+               pruned: bool | None = None, seed_segs: int = 2,
+               local: bool | None = None) -> DataFrame:
         """(query_id, doc_id, score, rank) for a batch of queries.
 
         ``pruned=None`` auto-selects: the block-max pruned path costs
         two decode passes plus threshold joins, which only pays for
         itself when the candidate posting volume is large (head terms
         / the 10^12-doc regime); small candidate sets answer faster
-        exhaustively.  The estimate is a Σdf lookup against the cached
-        lexicon — the reference's driver-side lexicon probe
-        (QueryProcessor.cpp:578-582) put to planner use.
+        exhaustively.  The df probe against the cached lexicon — the
+        reference's driver-side lexicon lookup
+        (QueryProcessor.cpp:578-582) — doubles as the qt builder, so
+        the scorer job carries no lexicon join.
         """
+        mode = "hw2" if self.cfg.length_norm == "hw2" else "hw3"
+        terms = sorted({t for q in queries.values()
+                        for t in tokenizer.split_query(q, mode)})
+        unknown = [t for t in terms if t not in self._df_memo]
+        if unknown:
+            probed = {r["term"]: r["df"] for r in
+                      self.lexicon.filter(F.col("term").isin(unknown))
+                      .select("term", "df").collect()}
+            for t in unknown:
+                self._df_memo[t] = int(probed.get(t, 0))
+        dfs = {t: self._df_memo[t] for t in terms}
+        if local is None:
+            local = (self.len_lookup is not None
+                     and sum(dfs.values()) <= LOCAL_EXEC_MAX_POSTINGS)
+        if local and self.len_lookup is not None and pruned is not True:
+            return self._search_local(queries, dfs, conjunctive, mode)
         if pruned is None:
-            from cs6913_web_search_engines_spark.functions import tokenizer
-            from pyspark.sql import functions as F
-
-            terms = sorted({t for q in queries.values()
-                            for t in tokenizer.split_query(q)})
-            sum_df = (
-                self.lexicon.filter(F.col("term").isin(terms))
-                .agg(F.sum("df")).collect()[0][0] or 0
-            )
-            avg_candidates = sum_df / max(len(queries), 1)
+            avg_candidates = sum(dfs.values()) / max(len(queries), 1)
             pruned = avg_candidates >= 5_000_000
         if pruned:
             return pruning.search_pruned(
@@ -77,9 +223,13 @@ class QueryEngine:
                 # survivor keys grow with corpus segments — same
                 # broadcastability regime as the page table
                 broadcast_keys=self.broadcast_doc_stats,
+                blocks=self.blocks,
+                len_lookup=self.len_lookup,
             )
+        qt = query_exec.queries_to_terms(self.spark, queries, mode, dfs=dfs)
         return query_exec.search_compressed(
             self.spark, self.index_path, self.lexicon, self.doc_stats,
             self.stats, queries, self.cfg, conjunctive=conjunctive,
             broadcast_doc_stats=self.broadcast_doc_stats,
+            blocks=self.blocks, len_lookup=self.len_lookup, query_terms=qt,
         )

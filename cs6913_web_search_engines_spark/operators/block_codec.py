@@ -449,7 +449,8 @@ def write_index(blocks: DataFrame, path: str) -> None:
 DECODED_SCHEMA = "term string, doc_id long, tf int"
 
 
-def _decode_stream(cfg: EngineConfig, extra_cols: tuple[str, ...] = ()):
+def _decode_stream(cfg: EngineConfig, extra_cols: tuple[str, ...] = (),
+                   len_bc=None):
     chunk = cfg.postings_per_chunk
 
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -469,33 +470,56 @@ def _decode_stream(cfg: EngineConfig, extra_cols: tuple[str, ...] = ()):
                 docs.append(d)
                 tfs.append(t)
             if not terms:
-                yield pd.DataFrame(
-                    {**{c: [] for c in extra_cols},
-                     "term": [], "doc_id": [], "tf": []})
+                empty = {**{c: [] for c in extra_cols},
+                         "term": [], "doc_id": [], "tf": []}
+                if len_bc is not None:
+                    empty["doc_len"] = []
+                yield pd.DataFrame(empty)
                 continue
             counts = [d.size for d in docs]
-            yield pd.DataFrame({
+            all_docs = np.concatenate(docs)
+            data = {
                 **{c: np.repeat(np.array(extras[c], dtype=object), counts)
                    for c in extra_cols},
                 "term": np.repeat(np.array(terms, dtype=object), counts),
-                "doc_id": np.concatenate(docs),
+                "doc_id": all_docs,
                 "tf": np.concatenate(tfs).astype(np.int32),
-            })
+            }
+            if len_bc is not None:
+                # page-table-in-RAM lookup (reference main.cpp:99-108):
+                # one vectorized gather replaces the doc_stats join
+                lens = len_bc.value
+                idx = all_docs.astype(np.int64)
+                dl = np.zeros(idx.size, dtype=np.int32)
+                m = idx < lens.size
+                dl[m] = lens[idx[m]]
+                data["doc_len"] = dl
+            yield pd.DataFrame(data)
 
     return fn
 
 
 def decode_postings(blocks: DataFrame, cfg: EngineConfig = DEFAULT,
-                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Block rows → (term, doc_id, tf).  Works on any filtered subset;
-    segments/blocks decode independently (absolute chunk-leading docID).
+                    extra_cols: tuple[str, ...] = (),
+                    len_lookup=None) -> DataFrame:
+    """Block rows → (term, doc_id, tf[, doc_len]).  Works on any
+    filtered subset; segments/blocks decode independently (absolute
+    chunk-leading docID).
 
     ``extra_cols`` are carried through row-wise (e.g. a ``query_id``
     tag so per-query block subsets stay per-query after decode).
+
+    ``len_lookup``: optional ``sparkContext.broadcast`` of a dense
+    int32 numpy array mapping doc_id → document length.  When given,
+    the kernel emits ``doc_len`` inline — the Spark analog of the
+    reference's RAM-resident page table (valid while norms fit
+    executor memory; beyond that the scorer joins doc_stats instead).
     """
     cols = blocks.select(*extra_cols, "term", "n_postings", "doc_gaps", "tfs")
     schema = "".join(f"{c} string, " for c in extra_cols) + DECODED_SCHEMA
-    return cols.mapInPandas(_decode_stream(cfg, extra_cols), schema)
+    if len_lookup is not None:
+        schema += ", doc_len int"
+    return cols.mapInPandas(_decode_stream(cfg, extra_cols, len_lookup), schema)
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:

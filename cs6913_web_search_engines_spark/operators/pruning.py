@@ -73,6 +73,7 @@ def _query_meta(
     lexicon: DataFrame,
     queries: dict[str, str],
     cfg: EngineConfig,
+    blocks: DataFrame | None = None,
 ):
     """Block metadata rows for all query terms, with df attached.
 
@@ -82,9 +83,9 @@ def _query_meta(
     """
     all_terms = sorted({t for q in queries.values() for t in tokenizer.split_query(q)})
     meta_cols = ["shard", "term", "seg", "block_id", "n_postings", "max_tf"]
+    src = blocks if blocks is not None else spark.read.parquet(index_path)
     meta = (
-        spark.read.parquet(index_path)
-        .select(*meta_cols)
+        src.select(*meta_cols)
         .filter(block_codec.term_filter(spark, all_terms, cfg))
     )
     qt = query_exec.queries_to_terms(spark, queries)
@@ -104,6 +105,8 @@ def search_pruned(
     seed_segs: int = 2,
     broadcast_doc_stats: bool = True,
     broadcast_keys: bool = True,
+    blocks: DataFrame | None = None,
+    len_lookup=None,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index, decoding only
     blocks whose bound can still beat the seeded threshold.
@@ -119,7 +122,8 @@ def search_pruned(
     total_docs = int(stats["total_docs"])
     min_len = int(stats.get("min_len", 1))
     max_len = int(stats.get("max_len", 1 << 30))
-    meta, qt, _ = _query_meta(spark, index_path, lexicon, queries, cfg)
+    src = blocks if blocks is not None else spark.read.parquet(index_path)
+    meta, qt, _ = _query_meta(spark, index_path, lexicon, queries, cfg, src)
     meta = meta.withColumn(
         "ub",
         block_upper_bound(cfg, total_docs, float(stats["avg_len"]),
@@ -163,11 +167,9 @@ def search_pruned(
         ).dropDuplicates()
         if broadcast_keys:
             keys = F.broadcast(keys)
-        blocks = spark.read.parquet(index_path).join(
-            keys, ["term", "seg", "block_id"]
-        )
+        kept = src.join(keys, ["term", "seg", "block_id"])
         postings = block_codec.decode_postings(
-            blocks, cfg, extra_cols=("query_id",)
+            kept, cfg, extra_cols=("query_id",), len_lookup=len_lookup
         )
         return query_exec.score_query_set(
             postings, qt, lexicon, doc_stats, stats, cfg,

@@ -33,15 +33,36 @@ from cs6913_web_search_engines_spark.operators import block_codec
 
 
 def queries_to_terms(spark: SparkSession, queries: dict[str, str],
-                     mode: str = "hw3") -> DataFrame:
-    """{query_id: raw_query} → (query_id, term, n_terms) via the
-    reference query tokenizer (deduplicated, SURVEY §2.2 F2)."""
+                     mode: str = "hw3",
+                     dfs: dict[str, int] | None = None) -> DataFrame:
+    """{query_id: raw_query} → (query_id, term, n_terms[, df]) via the
+    reference query tokenizer (deduplicated, SURVEY §2.2 F2).
+
+    ``dfs`` (term → document frequency) attaches df driver-side —
+    the reference's lexicon-probe (QueryProcessor.cpp:578-582) result
+    reused so the scorer skips its lexicon join."""
+    import pandas as pd
+
     rows = []
     for qid, q in queries.items():
         terms = tokenizer.split_query(q, mode)
         for t in terms:
-            rows.append((qid, t, len(terms)))
-    return spark.createDataFrame(rows, "query_id string, term string, n_terms int")
+            if dfs is None:
+                rows.append((qid, t, len(terms)))
+            else:
+                rows.append((qid, t, len(terms), int(dfs.get(t, 0))))
+    schema = "query_id string, term string, n_terms int"
+    cols = ["query_id", "term", "n_terms"]
+    if dfs is not None:
+        schema += ", df long"
+        cols.append("df")
+    pdf = pd.DataFrame(rows, columns=cols)
+    if len(pdf) == 0:
+        pdf = pdf.astype({"query_id": object, "term": object,
+                          "n_terms": "int32",
+                          **({"df": "int64"} if dfs is not None else {})})
+    # pandas→Arrow conversion beats the row-list path ~8× on driver time
+    return spark.createDataFrame(pdf, schema)
 
 
 def score_query_set(
@@ -75,10 +96,12 @@ def score_query_set(
     # per-query block subsets) join per query instead.
     join_key = ["query_id", "term"] if "query_id" in postings.columns else "term"
     matched = postings.join(F.broadcast(qt), join_key)
-    ds = doc_stats.select("doc_id", F.col(len_col).alias("doc_len"))
-    if broadcast_doc_stats:
-        ds = F.broadcast(ds)
-    matched = matched.join(ds, "doc_id")
+    if "doc_len" not in postings.columns:
+        # no inline norms → attach the page table by join
+        ds = doc_stats.select("doc_id", F.col(len_col).alias("doc_len"))
+        if broadcast_doc_stats:
+            ds = F.broadcast(ds)
+        matched = matched.join(ds, "doc_id")
     scored = matched.withColumn(
         "term_score",
         bm25_score(
@@ -135,17 +158,29 @@ def search_compressed(
     cfg: EngineConfig = DEFAULT,
     conjunctive: bool = False,
     broadcast_doc_stats: bool = True,
+    blocks: DataFrame | None = None,
+    len_lookup=None,
+    query_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Query the term-sharded compressed index: shard partition pruning
-    + term predicate pushdown → decode UDF → same scorer."""
+    + term predicate pushdown → decode UDF → same scorer.
+
+    Interactive-latency knobs (all optional; engine.QueryEngine wires
+    them at preload, the reference's main.cpp:99-108 analog):
+    ``blocks`` — the preloaded index DataFrame (skips re-listing the
+    parquet directory per query); ``len_lookup`` — broadcast doc-len
+    array attached inside the decode kernel (skips the doc_stats
+    join); ``query_terms`` — qt with df already attached (skips the
+    lexicon join)."""
+    mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
     all_terms = sorted(
-        {t for q in queries.values() for t in tokenizer.split_query(q)}
+        {t for q in queries.values() for t in tokenizer.split_query(q, mode)}
     )
-    blocks = spark.read.parquet(index_path).filter(
-        block_codec.term_filter(spark, all_terms, cfg)
-    )
-    postings = block_codec.decode_postings(blocks, cfg)
-    qt = queries_to_terms(spark, queries)
+    src = blocks if blocks is not None else spark.read.parquet(index_path)
+    filtered = src.filter(block_codec.term_filter(spark, all_terms, cfg))
+    postings = block_codec.decode_postings(filtered, cfg, len_lookup=len_lookup)
+    qt = query_terms if query_terms is not None else queries_to_terms(
+        spark, queries, mode)
     return score_query_set(postings, qt, lexicon, doc_stats, stats, cfg,
                            conjunctive, broadcast_doc_stats=broadcast_doc_stats)
 

@@ -1,0 +1,61 @@
+"""QueryEngine facade: local fast path ≡ distributed path, caches,
+norms-in-RAM lookup."""
+
+import pytest
+
+from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.engine import QueryEngine
+from cs6913_web_search_engines_spark.operators import index_build as ib
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("engidx") / "idx")
+    ib.build_full(spark, documents, out, EngineConfig(segment_docs=256),
+                  checkpoint_runs=False, fused=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    return QueryEngine(spark, built_index, EngineConfig(segment_docs=256))
+
+
+QUERIES = {"q0": "data fast join", "q1": "the query window"}
+
+
+def _key(rows):
+    return sorted((r["query_id"], r["rank"], r["doc_id"],
+                   round(r["score"], 9)) for r in rows)
+
+
+def test_norms_lookup_built(engine):
+    assert engine.len_lookup is not None
+    arr = engine.len_lookup.value
+    assert arr.size == engine.stats["total_docs"]
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_local_path_rank_identical_to_distributed(engine, conjunctive):
+    local = engine.search(QUERIES, conjunctive=conjunctive, local=True).collect()
+    dist = engine.search(QUERIES, conjunctive=conjunctive, local=False).collect()
+    assert local and _key(local) == _key(dist)
+
+
+def test_local_path_caches_warm_after_first_call(engine):
+    engine.search({"q": "data fast join"}).collect()
+    assert engine._df_memo.get("data", 0) > 0
+    assert engine._postings_cache.get("data")
+    # second call answers from cache and stays identical
+    a = engine.search({"q": "data fast join"}).collect()
+    b = engine.search({"q": "data fast join"}, local=False).collect()
+    assert _key(a) == _key(b)
+
+
+def test_unknown_term_conjunctive_returns_empty(engine):
+    assert engine.search({"q": "data zzzznotaword"},
+                         conjunctive=True).count() == 0
+
+
+def test_separator_only_query_empty(engine):
+    assert engine.search({"q": "!!! ???"}).count() == 0
