@@ -211,6 +211,37 @@ def _q_trec_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.trec_summary(_q_trec_metrics(spark, sf_dir))
 
 
+def _q_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max pruned path (M2/M3 upgrade) at the driver gate: build
+    a compressed index, answer the flagship query through
+    pruning.search_pruned — the oracle is the PLAIN exhaustive BM25
+    SQL, so green == rank-identity of the pruned traversal."""
+    from cs6913_web_search_engines_spark.operators import pruning
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pruned_idx_")
+    cfg = EngineConfig(segment_docs=256)
+    stats = ib.build_full(spark, docs, out, cfg,
+                          checkpoint_runs=False, fused=True)
+    lexicon = spark.read.parquet(f"{out}/lexicon")
+    doc_stats = spark.read.parquet(f"{out}/doc_stats")
+    res = pruning.search_pruned(
+        spark, f"{out}/index", lexicon, doc_stats, stats,
+        {"q0": FLAGSHIP_QUERY}, cfg, conjunctive=False, seed_segs=1,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _q_doc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F4/J5 — content retrieval join with the reference's
+    comma-scrub projection (SearchResult.cpp:47)."""
+    docs, postings, doc_stats, stats, lexicon = _built(spark, sf_dir)
+    res = qe.search(spark, postings, lexicon, doc_stats, stats,
+                    FLAGSHIP_QUERY, CFG, conjunctive=False)
+    return qe.attach_content(res, docs).select(
+        "doc_id", "rank", "content")
+
+
 def _q_webpages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = webpages.synthesize(_docs(spark, sf_dir))
     return webpages.extract_text(pages).select("url", "extracted", "lang")
@@ -368,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": _q_bm25_batch,
         "bm25_compressed": _q_bm25_compressed,
         "bm25_hw2": _q_bm25_hw2,
+        "bm25_pruned": _q_bm25_pruned,
+        "doc_content": _q_doc_content,
         "postings_subset": _q_postings_subset,
         "webpages_extract": _q_webpages_extract,
         "streaming_lexicon": _q_streaming_lexicon,
@@ -429,6 +462,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_batch": _BATCH_ORACLE,
         "bm25_compressed": _bm25_oracle(terms, False, CFG.top_k),
         "bm25_hw2": _bm25_oracle_hw2(terms, CFG.hw2().top_k),
+        # pruned path vs the PLAIN exhaustive SQL = rank-identity gate
+        "bm25_pruned": _bm25_oracle(terms, False, CFG.top_k),
+        "doc_content": f"""
+WITH ranked AS ({_bm25_oracle(terms, False, CFG.top_k)})
+SELECT r.doc_id, r.rank, replace(d.text, ',', ' ') AS content
+FROM ranked r LEFT JOIN documents d USING (doc_id)
+""",
         "postings_subset": (f"WITH {_postings_cte(_SUBSET_REL)} "
                             "SELECT doc_id, term, tf FROM postings"),
         "webpages_extract": f"""

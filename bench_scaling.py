@@ -123,8 +123,11 @@ def run_level(cpus: int) -> dict:
     t_build = time.time() - t0
 
     eng = QueryEngine(spark, out, cfg)
+    # force the DISTRIBUTED path: the driver-local fast path answers
+    # small batches on one core, which is exactly what a scaling
+    # measurement must not measure
     t0 = time.time()
-    n_res = eng.search(BATCH_QUERIES).count()
+    n_res = eng.search(BATCH_QUERIES, local=False).count()
     t_query = time.time() - t0
     return {
         "cpus": cpus,

@@ -37,12 +37,14 @@ class EngineConfig:
     # this many docIDs *before* the per-term group-by, so a head term
     # ("the") never concentrates on one reducer: the group key is
     # (term, doc_id // segment_docs).  Chunks reset their delta base
-    # (reference Lexicon.cpp:143-146) so segments are self-contained.
-    # 64 K caps any group at segment_docs postings (skew ceiling) AND
-    # floors encode parallelism at n_docs/64K groups per term — with a
-    # tiny vocabulary a coarser segment would collapse the block-encode
-    # stage to |vocab| tasks regardless of cluster size.
-    segment_docs: int = 1 << 16
+    # (reference Lexicon.cpp:143-146) so segments are self-contained —
+    # segment size therefore costs NO compression; it only sets the
+    # skew ceiling (≤ segment_docs postings per group) and the build
+    # parallelism floor (n_docs/segment_docs independent units).  16 K
+    # measured 10-30% faster than 64 K on the fused build at 4-16
+    # cores (finer units pack evenly under range partitioning) while
+    # adding only ~4× metadata rows.
+    segment_docs: int = 1 << 14
 
     # Spill/run sizing analog of INDEX_CHUNK_SIZE (config.h:28): number
     # of shuffle partitions used when writing posting runs.

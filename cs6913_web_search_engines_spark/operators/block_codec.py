@@ -415,9 +415,15 @@ def encode_fused(documents: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
     crossing; cache and split with :func:`fused_blocks` /
     :func:`fused_doc_stats`."""
     seg = (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long")
+    # RANGE partition on seg, not hash: segment cardinality is only
+    # n_docs/segment_docs, and hashing few distinct keys over
+    # run_partitions leaves Poisson holes (empty partitions next to
+    # double-loaded ones — measured 20-40% build-time loss).  Range
+    # assignment packs contiguous segments evenly and never splits a
+    # segment (block_id contiguity per (term, seg) is preserved).
     arranged = (
         documents.select("doc_id", "text")
-        .repartition(cfg.run_partitions, seg)
+        .repartitionByRange(cfg.run_partitions, seg)
         .sortWithinPartitions("doc_id")
     )
     fused = arranged.mapInPandas(_fused_stream(cfg), FUSED_SCHEMA)
