@@ -440,6 +440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             webpages.synthesize(_docs(s, d))),
         "frontier_new_urls": lambda s, d: weblog.frontier_new_urls(
             webpages.synthesize(_docs(s, d))),
+        "frontier_order": lambda s, d: weblog.frontier_order(
+            webpages.synthesize(_docs(s, d)), budget=200),
+        "doc_id_minting": lambda s, d: webpages.mint_doc_ids_scalable(
+            webpages.synthesize(_docs(s, d)), n_buckets=16
+        ).select("url", "doc_id"),
         # --- multimodal ---
         "media_metadata": lambda s, d: mm.media_metadata(
             mm.synthesize_media(_docs(s, d))),
@@ -499,6 +504,11 @@ FROM ranked r LEFT JOIN documents d USING (doc_id)
         "link_graph": weblog.link_graph_sql(_PAGES_REL),
         "domain_in_degree": weblog.domain_in_degree_sql(_PAGES_REL),
         "frontier_new_urls": weblog.frontier_new_urls_sql(_PAGES_REL),
+        "frontier_order": weblog.frontier_order_sql(_PAGES_REL, budget=200),
+        "doc_id_minting": f"""
+SELECT url, CAST(ROW_NUMBER() OVER (ORDER BY url) - 1 AS BIGINT) AS doc_id
+FROM ({_PAGES_REL})
+""",
         "media_metadata": mm.synthesize_media_sql(),
         "media_features": mm.extract_features_sql(),
     }

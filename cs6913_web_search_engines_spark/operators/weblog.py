@@ -18,7 +18,7 @@ which AQE handles (domains are many and shallow compared to terms).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 # web_crawler.py:112-124 — extension blacklist (joined to one regex).
@@ -208,6 +208,86 @@ def frontier_new_urls(pages: DataFrame) -> DataFrame:
         .agg(F.min("link_domain").alias("domain"))
         .join(seen, "url_min", "left_anti")
     )
+
+
+def frontier_order(pages: DataFrame, budget: int = 1000) -> DataFrame:
+    """T7 — priority-ordered frontier: (url_min, domain,
+    final_priority, pos) for the next ``budget`` uncrawled candidates.
+
+    The reference's PriorityQueue pops the SMALLEST final_priority
+    first with queue-index FIFO tiebreak (web_crawler.py:88,141-143);
+    batch input has no arrival order, so url_min is the deterministic
+    tiebreak.  Unseen domains score exactly as the crawler's
+    enqueue-time ``get_priority`` on first sight (enqueue_count 0,
+    link-graph in-degree, second-last count from crawled state).
+    ``orderBy().limit(budget)`` is a distributed TakeOrdered — no
+    global sort materializes at 10^12 candidates."""
+    cand = frontier_new_urls(pages)
+    crawled = (
+        pages.select(F.expr(_HOST).alias("domain"))
+        .groupBy("domain")
+        .agg((F.count("*") - 1).cast("long").alias("enqueue_count"))
+    )
+    sl = (
+        crawled.withColumn("second_last", F.expr(_sl_sql("domain")))
+        .groupBy("second_last")
+        .agg((F.sum("enqueue_count") + F.count("*")).cast("long").alias("sl_count"))
+    )
+    d = (
+        cand.join(crawled, "domain", "left")
+        .fillna(0, subset=["enqueue_count"])
+        .withColumn("second_last", F.expr(_sl_sql("domain")))
+        .join(domain_in_degree(pages).withColumnRenamed("in_degree", "indeg"),
+              "domain", "left")
+        .fillna(0, subset=["indeg"])
+        .withColumnRenamed("indeg", "in_degree")
+        .join(F.broadcast(sl), "second_last", "left")
+        .fillna(0, subset=["sl_count"])
+    )
+    d = d.selectExpr("url_min", *_priority_exprs())
+    top = d.orderBy(F.col("final_priority").asc(), F.col("url_min").asc()) \
+           .limit(budget)
+    w = Window.orderBy(F.col("final_priority").asc(), F.col("url_min").asc())
+    return top.select(
+        "url_min", "domain", "final_priority",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+def frontier_order_sql(pages_rel: str, budget: int = 1000) -> str:
+    return f"""
+WITH {_in_degree_cte(pages_rel)},
+cand AS (
+    SELECT link_min AS url_min, MIN(link_domain) AS domain
+    FROM lg WHERE is_valid GROUP BY 1),
+seen AS (SELECT DISTINCT {_MIN} AS url_min FROM ({pages_rel})),
+newc AS (
+    SELECT url_min, domain FROM cand
+    WHERE url_min NOT IN (SELECT url_min FROM seen)),
+crawled AS (
+    SELECT {_HOST} AS domain, CAST(COUNT(*) - 1 AS BIGINT) AS enqueue_count
+    FROM ({pages_rel}) GROUP BY 1),
+sl AS (
+    SELECT {_sl_sql("domain")} AS second_last,
+           CAST(SUM(enqueue_count) + COUNT(*) AS BIGINT) AS sl_count
+    FROM crawled GROUP BY 1),
+d AS (
+    SELECT n.url_min, n.domain,
+           COALESCE(c.enqueue_count, 0) AS enqueue_count,
+           {_sl_sql("n.domain")} AS second_last,
+           COALESCE(i.in_degree, 0) AS in_degree,
+           COALESCE(s.sl_count, 0) AS sl_count
+    FROM newc n
+    LEFT JOIN crawled c ON c.domain = n.domain
+    LEFT JOIN indeg i ON i.domain = n.domain
+    LEFT JOIN sl s ON s.second_last = {_sl_sql("n.domain")}),
+scored AS (SELECT url_min, {", ".join(_priority_exprs())} FROM d)
+SELECT url_min, domain, final_priority,
+       CAST(ROW_NUMBER() OVER (ORDER BY final_priority, url_min) AS INT) AS pos
+FROM scored
+ORDER BY final_priority, url_min
+LIMIT {budget}
+"""
 
 
 def _links_ctes(pages_rel: str) -> str:
