@@ -45,8 +45,19 @@ def build_postings(documents: DataFrame) -> DataFrame:
     Exactly one posting per (term, doc) pair — the reference
     guarantees the same by construction (`_calcWordFreq` aggregates
     per doc before `insertWord`, IndexBuilder.cpp:104-108).
+
+    Inputs with fewer file splits than the cluster's parallelism are
+    fanned out first, so the tokenizer kernel never idles cores (a
+    4-file corpus would otherwise run 4 tasks on 32 slots; at real
+    scale inputs have thousands of splits and this is a no-op).
     """
-    return documents.select("doc_id", "text").mapInPandas(
+    docs = documents.select("doc_id", "text")
+    if not documents.isStreaming:
+        sc = documents.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
+    return docs.mapInPandas(
         tokenizer.postings_batches, tokenizer.POSTINGS_SCHEMA
     )
 
