@@ -69,3 +69,50 @@ def test_ann_query_side_broadcasts(spark):
     # shuffle of the big side here would be fatal at 10^12 vectors
     assert "BroadcastNestedLoopJoin" in checks.plan_text(res) or \
         checks.has_broadcast_join(res)
+
+
+def test_ivf_assignment_is_map_only(spark):
+    # literal-centroid assignment must add NO exchange and NO join:
+    # one projection over the scan (10^12 rows → write-through)
+    from cs6913_web_search_engines_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    txt = checks.plan_text(sim.ivf_assign(emb, 8))
+    assert "Exchange" not in txt
+    for join in ("Join", "CartesianProduct"):
+        assert join not in txt, txt
+
+
+def test_link_extraction_is_map_only(spark, documents):
+    from cs6913_web_search_engines_spark.operators import weblog
+    from cs6913_web_search_engines_spark.sources import webpages
+
+    txt = checks.plan_text(weblog.link_graph(webpages.synthesize(documents)))
+    assert "Exchange" not in txt          # narrow explode + projections
+    assert "Generate" in txt              # the href explode
+
+
+def test_frontier_order_is_take_ordered(spark, documents):
+    from cs6913_web_search_engines_spark.operators import weblog
+    from cs6913_web_search_engines_spark.sources import webpages
+
+    txt = checks.plan_text(
+        weblog.frontier_order(webpages.synthesize(documents), budget=50))
+    # orderBy().limit() must plan as TakeOrdered, never a global Sort
+    # materializing all candidates
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_engine_inline_norms_skip_doc_stats_join(spark, documents, tmp_path):
+    # with doc_len inline from the decode kernel, the scorer plan must
+    # not reference the doc_stats parquet at all
+    from cs6913_web_search_engines_spark.engine import QueryEngine
+    from cs6913_web_search_engines_spark.operators import index_build as ib2
+
+    out = str(tmp_path / "idx")
+    ib2.build_full(spark, documents, out, EngineConfig(segment_docs=256),
+                   checkpoint_runs=False, fused=True)
+    eng = QueryEngine(spark, out, EngineConfig(segment_docs=256))
+    assert eng.len_lookup is not None
+    res = eng.search({"q": "data fast join"}, local=False)
+    assert "doc_stats" not in checks.plan_text(res)
