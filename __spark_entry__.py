@@ -242,6 +242,19 @@ def _q_doc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rank", "content")
 
 
+def _q_posting_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — checkpointed posting runs (rows-only check: the run
+    bucketing key is xxhash64, which DuckDB cannot reproduce; bucket
+    assignment determinism is pinned by tests/test_index_build.py)."""
+    out = tempfile.mkdtemp(prefix="runs_entry_")
+    postings = ib.build_postings(_docs(spark, sf_dir))
+    ib.write_runs(postings, out, CFG)
+    return (
+        spark.read.parquet(out)
+        .groupBy("run").agg(F.count("*").cast("long").alias("n_postings"))
+    )
+
+
 def _q_webpages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = webpages.synthesize(_docs(spark, sf_dir))
     return webpages.extract_text(pages).select("url", "extracted", "lang")
@@ -402,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned": _q_bm25_pruned,
         "doc_content": _q_doc_content,
         "postings_subset": _q_postings_subset,
+        "posting_runs": _q_posting_runs,   # rows-only (no SQL oracle)
         "webpages_extract": _q_webpages_extract,
         "streaming_lexicon": _q_streaming_lexicon,
         # --- text analysis ---

@@ -167,6 +167,26 @@ def test_fused_with_runs_raises(spark, documents, tmp_path):
                       EngineConfig(), checkpoint_runs=True, fused=True)
 
 
+def test_head_term_segment_cap(spark):
+    """Skew ceiling: a term present in EVERY doc (the 'the' case) may
+    never concentrate more than segment_docs postings in one encode
+    group — the (term, seg) key splits it across n_docs/segment_docs
+    independent units (SURVEY §7 head-term salting)."""
+    docs = spark.createDataFrame(
+        [(i, "the common filler word") for i in range(20000)],
+        "doc_id long, text string",
+    )
+    cfg = EngineConfig(segment_docs=4096)
+    enc = bc.encode_index(ib.build_postings(docs), cfg)
+    per_group = (
+        enc.groupBy("term", "seg")
+        .agg(F.sum("n_postings").alias("n")).collect()
+    )
+    assert max(r["n"] for r in per_group) <= 4096
+    segs = {r["seg"] for r in per_group if r["term"] == "the"}
+    assert len(segs) == 20000 // 4096 + 1
+
+
 def test_subset_build_equals_filtered_full(built, documents):
     """S2: postings built over a doc-id subset == full postings
     restricted to the subset (IndexBuilder.cpp:126-149 semantics)."""
