@@ -214,6 +214,15 @@ class QueryEngine:
         if pruned is None:
             avg_candidates = sum(dfs.values()) / max(len(queries), 1)
             pruned = avg_candidates >= 5_000_000
+        if not pruned and self.len_lookup is not None:
+            # distributed batch tier: segment-at-a-time kernel (decode
+            # + score + local top-k in one Arrow pass; ~16× less
+            # cross-boundary traffic than the exhaustive plan)
+            return query_exec.search_segmented(
+                self.spark, self.blocks, self.lexicon, self.stats,
+                queries, self.cfg, len_lookup=self.len_lookup,
+                conjunctive=conjunctive, dfs=dfs,
+            )
         if pruned:
             return pruning.search_pruned(
                 self.spark, self.index_path, self.lexicon, self.doc_stats,

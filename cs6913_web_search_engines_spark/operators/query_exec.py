@@ -185,6 +185,141 @@ def search_compressed(
                            conjunctive, broadcast_doc_stats=broadcast_doc_stats)
 
 
+def search_segmented(
+    spark: SparkSession,
+    blocks: DataFrame,
+    lexicon: DataFrame,
+    stats: dict,
+    queries: dict[str, str],
+    cfg: EngineConfig = DEFAULT,
+    len_lookup=None,
+    conjunctive: bool = False,
+    num_partitions: int | None = None,
+    dfs: dict[str, int] | None = None,
+) -> DataFrame:
+    """Distributed segment-at-a-time exact top-k over the compressed
+    index — the batch fast path.
+
+    Every posting of a doc lives in the doc's segment, so a kernel
+    holding ALL candidate blocks of one segment computes COMPLETE
+    (query, doc) scores and a sound local top-k (the global top-k per
+    query is a subset of each segment's top-k under the same
+    (score DESC, doc_id ASC) order — the TakeOrdered argument).  Plan:
+
+        blocks filter(terms) → repartition(seg) [shuffles only the
+        COMPRESSED payload, ~2 bytes/posting] → sortWithinPartitions(seg)
+        → Arrow kernel: decode + BM25 + per-(seg, query) top-k, one
+        segment resident at a time → tiny global ranking window over
+        n_segs × n_queries × k candidate rows.
+
+    vs the exhaustive path this removes the 10^2-times-larger Arrow
+    transfer and shuffle of per-posting score rows (measured 16× on a
+    256-query batch over 186 M postings).  Requires the norms-in-RAM
+    broadcast (``len_lookup``); the reference analog is DAAT scoring
+    against the RAM page table (QueryProcessor.cpp:459-509),
+    distributed by segment.  Rank-identical to
+    :func:`search_compressed` (tests/test_query.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from cs6913_web_search_engines_spark.functions import varbyte
+
+    if len_lookup is None:
+        raise ValueError("search_segmented requires the norms broadcast; "
+                         "use search_compressed beyond norms-in-RAM scale")
+    mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
+    qterms = {qid: tokenizer.split_query(q, mode) for qid, q in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if dfs is None:
+        dfs = {r["term"]: r["df"] for r in
+               lexicon.filter(F.col("term").isin(all_terms))
+               .select("term", "df").collect()}
+    n_docs = float(stats["total_docs"])
+    idf = {t: float(np.log((n_docs - dfs.get(t, 0) + 0.5)
+                           / (dfs.get(t, 0) + 0.5))) for t in all_terms}
+    term2q: dict[str, list] = {}
+    for qid, ts in qterms.items():
+        for t in ts:
+            term2q.setdefault(t, []).append(qid)
+    n_terms_by_q = {qid: len(ts) for qid, ts in qterms.items()}
+    avg = float(stats["avg_len"])
+    k1, b = cfg.k1, cfg.b
+    top_k = cfg.top_k
+    chunk = cfg.postings_per_chunk
+    sc = spark.sparkContext
+    t2q_b = sc.broadcast(term2q)
+    idf_b = sc.broadcast(idf)
+    nt_b = sc.broadcast(n_terms_by_q)
+
+    def kernel(batches):
+        lens = len_lookup.value
+        t2q, idfs, nts = t2q_b.value, idf_b.value, nt_b.value
+        out_q, out_d, out_s = [], [], []
+        cur_seg = None
+        acc: dict[str, list] = {}   # qid -> [(ids, contribs), ...]
+
+        def flush():
+            for qid, pairs in acc.items():
+                cat = np.concatenate([p[0] for p in pairs])
+                uids, inv = np.unique(cat, return_inverse=True)
+                scores = np.bincount(
+                    inv, weights=np.concatenate([p[1] for p in pairs]))
+                if conjunctive:
+                    keep = np.bincount(inv) == nts[qid]
+                    uids, scores = uids[keep], scores[keep]
+                if uids.size == 0:
+                    continue
+                order = np.lexsort((uids, -scores))[:top_k]
+                out_q.extend([qid] * order.size)
+                out_d.extend(int(x) for x in uids[order])
+                out_s.extend(float(x) for x in scores[order])
+            acc.clear()
+
+        for pdf in batches:
+            for term, seg, n, gaps, tfs in zip(
+                pdf["term"], pdf["seg"], pdf["n_postings"],
+                pdf["doc_gaps"], pdf["tfs"],
+            ):
+                seg = int(seg)
+                if seg != cur_seg:
+                    flush()           # rows sorted by seg → one
+                    cur_seg = seg     # segment resident at a time
+                n = int(n)
+                ids = varbyte.delta_decode(varbyte.decode(bytes(gaps), n), chunk)
+                tf = varbyte.decode(bytes(tfs), n).astype(np.float64)
+                dl = np.zeros(ids.size)
+                m = ids < lens.size
+                dl[m] = lens[ids[m]]
+                K = k1 * ((1.0 - b) + b * dl / avg)
+                contrib = idfs[term] * (k1 + 1.0) * tf / (K + tf)
+                for qid in t2q.get(term, ()):
+                    acc.setdefault(qid, []).append((ids, contrib))
+        flush()
+        yield pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype=object),
+            "doc_id": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        })
+
+    nparts = num_partitions or max(sc.defaultParallelism * 2, 8)
+    cand = (
+        blocks.filter(block_codec.term_filter(spark, all_terms, cfg))
+        .select("term", "seg", "n_postings", "doc_gaps", "tfs")
+        .repartition(nparts, "seg")
+        .sortWithinPartitions("seg")
+        .mapInPandas(kernel, "query_id string, doc_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def attach_content(results: DataFrame, documents: DataFrame) -> DataFrame:
     """Content retrieval (QueryProcessor::readDocContent, SURVEY S3/J5):
     seek-per-hit becomes a join, with the reference's comma-scrub

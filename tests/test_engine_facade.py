@@ -52,6 +52,21 @@ def test_local_path_caches_warm_after_first_call(engine):
     assert _key(a) == _key(b)
 
 
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_segmented_equals_exhaustive(spark, engine, conjunctive):
+    from cs6913_web_search_engines_spark.operators import query_exec as qe
+
+    seg = qe.search_segmented(
+        spark, engine.blocks, engine.lexicon, engine.stats, QUERIES,
+        engine.cfg, len_lookup=engine.len_lookup, conjunctive=conjunctive,
+    ).collect()
+    ex = qe.search_compressed(
+        spark, engine.index_path, engine.lexicon, engine.doc_stats,
+        engine.stats, QUERIES, engine.cfg, conjunctive=conjunctive,
+    ).collect()
+    assert seg and _key(seg) == _key(ex)
+
+
 def test_unknown_term_conjunctive_returns_empty(engine):
     assert engine.search({"q": "data zzzznotaword"},
                          conjunctive=True).count() == 0
