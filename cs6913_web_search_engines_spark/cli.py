@@ -24,14 +24,9 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from cs6913_web_search_engines_spark.config import EngineConfig
-from cs6913_web_search_engines_spark.operators import (
-    block_codec as bc,
-    index_build as ib,
-    query_exec as qe,
-)
+from cs6913_web_search_engines_spark.operators import index_build as ib
 
 
 def _spark(args) -> SparkSession:
@@ -62,28 +57,25 @@ def cmd_build(args) -> None:
     print(json.dumps(stats))
 
 
-def _load(spark, index_dir):
+def _engine(spark, index_dir: str, k: int):
+    from cs6913_web_search_engines_spark.engine import QueryEngine
+
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
-    lexicon = spark.read.parquet(os.path.join(index_dir, "lexicon"))
-    doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-    return stats, lexicon, doc_stats
+    cfg = EngineConfig(
+        top_k=k,
+        n_term_shards=stats["config"]["n_term_shards"],
+        segment_docs=stats["config"]["segment_docs"],
+    )
+    # tiered planner: driver-local / segmented / exhaustive / pruned
+    return QueryEngine(spark, index_dir, cfg)
 
 
 def cmd_query(args) -> None:
     spark = _spark(args)
-    cfg = EngineConfig(top_k=args.k)
-    stats, lexicon, doc_stats = _load(spark, args.index)
-    cfg = EngineConfig(
-        top_k=args.k,
-        n_term_shards=stats["config"]["n_term_shards"],
-        segment_docs=stats["config"]["segment_docs"],
-    )
+    eng = _engine(spark, args.index, args.k)
     t0 = time.time()
-    res = qe.search_compressed(
-        spark, os.path.join(args.index, "index"), lexicon, doc_stats, stats,
-        {"q": args.query}, cfg, conjunctive=(args.mode == "and"),
-    )
+    res = eng.search({"q": args.query}, conjunctive=(args.mode == "and"))
     rows = res.orderBy("rank").collect()
     dt = time.time() - t0
     for r in rows:
@@ -93,19 +85,11 @@ def cmd_query(args) -> None:
 
 def cmd_batch(args) -> None:
     spark = _spark(args)
-    stats, lexicon, doc_stats = _load(spark, args.index)
-    cfg = EngineConfig(
-        top_k=args.k,
-        n_term_shards=stats["config"]["n_term_shards"],
-        segment_docs=stats["config"]["segment_docs"],
-    )
+    eng = _engine(spark, args.index, args.k)
     qdf = spark.read.csv(args.queries, sep="\t",
                          schema="query_id string, query string")
     queries = {r["query_id"]: r["query"] for r in qdf.collect()}
-    res = qe.search_compressed(
-        spark, os.path.join(args.index, "index"), lexicon, doc_stats, stats,
-        queries, cfg, conjunctive=(args.mode == "and"),
-    )
+    res = eng.search(queries, conjunctive=(args.mode == "and"))
     # 6-col TREC run rows (reference query_bm25.py:42-47)
     from cs6913_web_search_engines_spark.operators import evalmetrics as em
 
@@ -123,7 +107,8 @@ def main(argv=None) -> None:
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--shards", type=int, default=8)
-    b.add_argument("--segment-docs", type=int, default=1 << 16, dest="segment_docs")
+    b.add_argument("--segment-docs", type=int,
+                   default=EngineConfig().segment_docs, dest="segment_docs")
     b.add_argument("--subset", default=None,
                    help="parquet with a doc_id column: build over this "
                         "doc subset only (HW3 IndexBuilder.cpp:126-149)")
