@@ -72,5 +72,16 @@ def test_unknown_term_conjunctive_returns_empty(engine):
                          conjunctive=True).count() == 0
 
 
+@pytest.mark.parametrize("local", [True, False])
+def test_edge_queries_every_tier(engine, local):
+    # separator-only, fully-unknown, and mixed queries behave
+    # identically on the local and segmented tiers
+    assert engine.search({"q": "!!! ???"}, local=local).count() == 0
+    assert engine.search({"q": "zzznotaword"}, local=local).count() == 0
+    assert engine.search({"q": "data zzznotaword"}, conjunctive=True,
+                         local=local).count() == 0
+    assert engine.search({"q": "data zzznotaword"}, local=local).count() > 0
+
+
 def test_separator_only_query_empty(engine):
     assert engine.search({"q": "!!! ???"}).count() == 0
