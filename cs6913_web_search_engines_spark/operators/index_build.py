@@ -189,7 +189,10 @@ def write_runs(
     if done:
         tagged = tagged.filter(~F.col("run").isin(*sorted(done)))
     (
-        tagged.repartition(cfg.run_partitions, "run")
+        # range, not hash: `run` has only run_partitions distinct
+        # values — hashing them over run_partitions slots leaves
+        # Poisson holes; range assignment is one bucket per partition
+        tagged.repartitionByRange(cfg.run_partitions, "run")
         .sortWithinPartitions("term", "doc_id")
         .write.partitionBy("run")
         .mode("append")
