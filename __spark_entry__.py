@@ -243,15 +243,17 @@ def _q_doc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_posting_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 — checkpointed posting runs (rows-only check: the run
-    bucketing key is xxhash64, which DuckDB cannot reproduce; bucket
-    assignment determinism is pinned by tests/test_index_build.py)."""
+    """S4 — checkpointed posting runs.  The run bucket is the
+    md5-derived hash60(term) % run_partitions (index_build.run_bucket),
+    which the DuckDB oracle reproduces exactly — full value-hash
+    parity on per-bucket posting counts."""
     out = tempfile.mkdtemp(prefix="runs_entry_")
     postings = ib.build_postings(_docs(spark, sf_dir))
     ib.write_runs(postings, out, CFG)
     return (
         spark.read.parquet(out)
-        .groupBy("run").agg(F.count("*").cast("long").alias("n_postings"))
+        .groupBy(F.col("run").cast("int").alias("run"))
+        .agg(F.count("*").cast("long").alias("n_postings"))
     )
 
 
@@ -415,7 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned": _q_bm25_pruned,
         "doc_content": _q_doc_content,
         "postings_subset": _q_postings_subset,
-        "posting_runs": _q_posting_runs,   # rows-only (no SQL oracle)
+        "posting_runs": _q_posting_runs,
         "webpages_extract": _q_webpages_extract,
         "streaming_lexicon": _q_streaming_lexicon,
         # --- text analysis ---
@@ -490,6 +492,11 @@ FROM ranked r LEFT JOIN documents d USING (doc_id)
 """,
         "postings_subset": (f"WITH {_postings_cte(_SUBSET_REL)} "
                             "SELECT doc_id, term, tf FROM postings"),
+        "posting_runs": f"""
+WITH {_POSTINGS_CTE}
+SELECT {ib.run_bucket_sql(CFG)} AS run, CAST(COUNT(*) AS BIGINT) AS n_postings
+FROM postings GROUP BY 1
+""",
         "webpages_extract": f"""
             SELECT url, regexp_extract(DECODE(html), '<p>(.*)</p>', 1) AS extracted, lang
             FROM ({webpages.synthesize_sql("documents")})

@@ -113,6 +113,16 @@ class QueryEngine:
         all_terms = sorted({t for q in queries.values()
                             for t in tokenizer.split_query(q, mode)})
         missing = [t for t in all_terms if t not in self._postings_cache]
+        fetched = sum(dfs.get(t, 0) for t in missing)
+        if missing and self._postings_cache_n + fetched > LOCAL_EXEC_MAX_POSTINGS * 4:
+            # Evict BEFORE deciding what to fetch: clearing the cache
+            # invalidates this query's previously-cached terms too, so
+            # the whole term set must be (re-)fetched — otherwise the
+            # per_term build below KeyErrors on evicted terms.
+            self._postings_cache.clear()
+            self._postings_cache_n = 0
+            missing = list(all_terms)
+            fetched = sum(dfs.get(t, 0) for t in missing)
         if missing:
             rows = (
                 self.blocks
@@ -121,10 +131,6 @@ class QueryEngine:
                 .collect()
             )
             chunk = self.cfg.postings_per_chunk
-            fetched = sum(dfs.get(t, 0) for t in missing)
-            if self._postings_cache_n + fetched > LOCAL_EXEC_MAX_POSTINGS * 4:
-                self._postings_cache.clear()
-                self._postings_cache_n = 0
             for t in missing:           # negative entries too: a term
                 self._postings_cache.setdefault(t, [])  # absent from
             self._postings_cache_n += fetched           # the index

@@ -136,30 +136,54 @@ def build_lexicon(postings: DataFrame) -> DataFrame:
 # Posting runs: checkpointed stage-1 output with manifests (resumable)
 # ---------------------------------------------------------------------------
 
-def _bucket_counts(path: str) -> dict[int, int]:
+def _bucket_counts(path: str, spark: SparkSession | None = None) -> dict[int, int]:
     """{bucket: n_rows} by summing parquet footer row counts per
-    ``run=<bucket>`` directory — metadata-only, no data scan."""
-    import pyarrow.parquet as pq
+    ``run=<bucket>`` directory — metadata-only, no data scan.
 
-    counts: dict[int, int] = {}
-    for name in os.listdir(path):
-        if not name.startswith("run="):
-            continue
-        bucket = int(name.split("=", 1)[1])
-        total = 0
-        d = os.path.join(path, name)
-        for f in os.listdir(d):
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-        counts[bucket] = total
-    return counts
+    The footer fast path only works for local-filesystem paths; for
+    URI schemes (hdfs://, s3a://) it falls back to a Spark
+    ``groupBy(run).count()``, which AQE keeps cheap (footer-driven
+    row-count stats make it near-metadata-only too)."""
+    if os.path.isdir(path):
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for name in os.listdir(path):
+            if not name.startswith("run="):
+                continue
+            bucket = int(name.split("=", 1)[1])
+            total = 0
+            d = os.path.join(path, name)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            counts[bucket] = total
+        return counts
+    if spark is None:
+        raise ValueError(f"non-local runs path {path!r} needs a SparkSession "
+                         "for the count fallback")
+    rows = spark.read.parquet(path).groupBy("run").count().collect()
+    return {int(r["run"]): int(r["count"]) for r in rows}
 
 
 def run_bucket(cfg: EngineConfig = DEFAULT):
     """Deterministic run bucket for a term: hash-mod, like the final
     shard but over `run_partitions` — each bucket is one resumable
-    unit of stage-1 output."""
-    return F.pmod(F.xxhash64(F.col("term")), F.lit(cfg.run_partitions)).cast("int")
+    unit of stage-1 output.  md5-derived (functions/hashing.hash60)
+    rather than xxhash64 so the DuckDB oracle can reproduce the
+    bucket assignment exactly (cross-engine, same reason the term
+    shard uses crc32 — block_codec.py term_shard)."""
+    from cs6913_web_search_engines_spark.functions import hashing
+
+    return F.pmod(hashing.hash60_col(F.col("term")),
+                  F.lit(cfg.run_partitions)).cast("int")
+
+
+def run_bucket_sql(cfg: EngineConfig = DEFAULT) -> str:
+    """DuckDB twin of :func:`run_bucket` (oracle parity)."""
+    from cs6913_web_search_engines_spark.functions import hashing
+
+    return f"CAST({hashing.hash60_sql('term')} % {cfg.run_partitions} AS INT)"
 
 
 def write_runs(
@@ -178,11 +202,25 @@ def write_runs(
     (kill-between-stages resumability, SURVEY §5).
     """
     manifest_path = os.path.join(path, "_manifest.json")
+    # The bucket function is part of the checkpoint's identity: resuming
+    # runs bucketed under a DIFFERENT hash or partition count would mix
+    # assignments (every posting re-appended under its new bucket while
+    # the old rows stay) — silent duplication.  Fingerprint it and wipe
+    # a stale checkpoint instead of resuming it.
+    bucket_fn = f"hash60%{cfg.run_partitions}"
     done: set[int] = set()
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             prev = json.load(f)
-        done = {b["bucket"] for b in prev.get("buckets", []) if b.get("complete")}
+        if prev.get("bucket_fn") == bucket_fn:
+            done = {b["bucket"] for b in prev.get("buckets", [])
+                    if b.get("complete")}
+        else:
+            import shutil
+
+            for name in os.listdir(path):
+                full = os.path.join(path, name)
+                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
 
     t0 = time.time()
     tagged = postings.withColumn("run", run_bucket(cfg))
@@ -201,9 +239,10 @@ def write_runs(
     elapsed = time.time() - t0
     # per-bucket row counts from parquet FOOTERS (driver-side metadata
     # read) — no second scan of the runs table
-    counts = _bucket_counts(path)
+    counts = _bucket_counts(path, postings.sparkSession)
     manifest = {
         "format": "postings-runs-v1",
+        "bucket_fn": bucket_fn,
         "lineage": lineage or {},
         "elapsed_sec": elapsed,
         "total_postings": int(sum(counts.values())),

@@ -80,15 +80,21 @@ def _query_meta(
     Reads ONLY metadata columns — the parquet scan never touches the
     ``doc_gaps``/``tfs`` payload bytes (column pruning), and shard/term
     predicates prune partitions and row groups.
+
+    Query tokenization follows ``cfg.length_norm`` (HW2 splits on a
+    different separator set than HW3) so the pruned tier stays
+    rank-identical to the other tiers under either config.
     """
-    all_terms = sorted({t for q in queries.values() for t in tokenizer.split_query(q)})
+    mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
+    all_terms = sorted({t for q in queries.values()
+                        for t in tokenizer.split_query(q, mode)})
     meta_cols = ["shard", "term", "seg", "block_id", "n_postings", "max_tf"]
     src = blocks if blocks is not None else spark.read.parquet(index_path)
     meta = (
         src.select(*meta_cols)
         .filter(block_codec.term_filter(spark, all_terms, cfg))
     )
-    qt = query_exec.queries_to_terms(spark, queries)
+    qt = query_exec.queries_to_terms(spark, queries, mode)
     qt = qt.join(lexicon.select("term", "df"), "term", "left").fillna(0, subset=["df"])
     return meta.join(F.broadcast(qt), "term"), qt, all_terms
 

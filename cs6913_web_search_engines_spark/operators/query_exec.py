@@ -306,7 +306,11 @@ def search_segmented(
     cand = (
         blocks.filter(block_codec.term_filter(spark, all_terms, cfg))
         .select("term", "seg", "n_postings", "doc_gaps", "tfs")
-        .repartition(nparts, "seg")
+        # Range partitioning on the low-cardinality seg key: hash
+        # partitioning leaves Poisson holes (empty partitions beside
+        # double-loaded ones) when n_segs ~ n_partitions — the same
+        # trap fixed in encode_fused/write_runs (commit f7e1d2b).
+        .repartitionByRange(nparts, "seg")
         .sortWithinPartitions("seg")
         .mapInPandas(kernel, "query_id string, doc_id long, score double")
     )

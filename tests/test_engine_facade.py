@@ -85,3 +85,64 @@ def test_edge_queries_every_tier(engine, local):
 
 def test_separator_only_query_empty(engine):
     assert engine.search({"q": "!!! ???"}).count() == 0
+
+
+def test_eviction_with_mixed_cached_and_new_terms(spark, built_index, monkeypatch):
+    # Regression: eviction used to clear the whole postings cache but
+    # re-fetch only the new terms, KeyError-ing on a query that mixed a
+    # previously-cached term with a new one (ADVICE r2, engine.py).
+    import cs6913_web_search_engines_spark.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "LOCAL_EXEC_MAX_POSTINGS", 1)
+    eng = engine_mod.QueryEngine(spark, built_index, EngineConfig(segment_docs=256))
+    eng.search({"q": "data"}, local=True).collect()
+    assert "data" in eng._postings_cache
+    got = eng.search({"q": "data fast"}, local=True).collect()
+    ref = eng.search({"q": "data fast"}, local=False).collect()
+    assert got and _key(got) == _key(ref)
+
+
+def test_norms_fallback_distributed_join_path(spark, built_index, engine):
+    # VERDICT r2 #10: past NORMS_IN_RAM_MAX_DOCS the engine must answer
+    # through the doc_stats join path, rank-identical.
+    eng = QueryEngine(spark, built_index, EngineConfig(segment_docs=256),
+                      norms_in_ram=False)
+    assert eng.len_lookup is None
+    got = eng.search(QUERIES).collect()
+    ref = engine.search(QUERIES, local=False).collect()
+    assert got and _key(got) == _key(ref)
+
+
+@pytest.fixture(scope="module")
+def hw2_index(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hw2idx") / "idx")
+    cfg2 = EngineConfig(segment_docs=256).hw2()
+    ib.build_full(spark, documents, out, cfg2, checkpoint_runs=False, fused=True)
+    return out, cfg2
+
+
+def test_pruned_tier_respects_hw2_query_tokenizer(spark, hw2_index):
+    # ADVICE r2: the pruned tier tokenized queries with the HW3 table
+    # regardless of cfg; under HW2, '_' is NOT a query separator
+    # (QueryProcessor.cpp:88), so 'data_fast' must stay one token on
+    # every tier or cross-tier rank-identity breaks.
+    import json
+
+    from cs6913_web_search_engines_spark.operators import pruning
+    from cs6913_web_search_engines_spark.operators import query_exec as qe
+
+    out, cfg2 = hw2_index
+    lexicon = spark.read.parquet(f"{out}/lexicon")
+    doc_stats = spark.read.parquet(f"{out}/doc_stats")
+    with open(f"{out}/stats.json") as f:
+        stats = json.load(f)
+    queries = {"q0": "data_fast join"}
+    pr = pruning.search_pruned(spark, f"{out}/index", lexicon, doc_stats,
+                               stats, queries, cfg2, seed_segs=1).collect()
+    ex = qe.search_compressed(spark, f"{out}/index", lexicon, doc_stats,
+                              stats, queries, cfg2).collect()
+    assert pr and _key(pr) == _key(ex)
+    # sanity: the HW3 tokenization of the same string scores differently
+    hw3 = qe.search_compressed(spark, f"{out}/index", lexicon, doc_stats,
+                               stats, {"q0": "data fast join"}, cfg2).collect()
+    assert _key(pr) != _key(hw3)

@@ -124,12 +124,38 @@ def test_partial_runs_resume(built, tmp_path_factory):
     for b in m1["buckets"][1:]:
         shutil.rmtree(os.path.join(path, f"run={b['bucket']}"))
     with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump({"buckets": [{"bucket": keep, "complete": True}]}, f)
+        json.dump({"bucket_fn": m1["bucket_fn"],
+                   "buckets": [{"bucket": keep, "complete": True}]}, f)
     m2 = ib.write_runs(postings, path, cfg)
     assert m2["total_postings"] == m1["total_postings"]
     back = set(map(tuple, ib.read_runs(postings.sparkSession, path).collect()))
     direct = set(map(tuple, postings.select("doc_id", "term", "tf").collect()))
     assert back == direct
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stale_bucket_fn_checkpoint_is_wiped_not_resumed(built, tmp_path_factory):
+    """A runs checkpoint bucketed under a different hash/partition
+    count must NOT be resumed (appending would duplicate every posting
+    under its new bucket) — write_runs wipes and rebuilds."""
+    import json
+    import os
+
+    postings, *_ = built
+    path = str(tmp_path_factory.mktemp("runs3") / "runs")
+    cfg = EngineConfig(run_partitions=4)
+    m1 = ib.write_runs(postings, path, cfg)
+    # forge a checkpoint from an older engine version (different hash)
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump({"bucket_fn": "xxhash64%32",
+                   "buckets": [{"bucket": b["bucket"], "complete": True}
+                               for b in m1["buckets"]]}, f)
+    m2 = ib.write_runs(postings, path, cfg)
+    assert m2["bucket_fn"] == m1["bucket_fn"]
+    assert m2["total_postings"] == m1["total_postings"]
+    back = ib.read_runs(postings.sparkSession, path)
+    assert back.count() == postings.count()          # no duplication
+    assert back.distinct().count() == back.count()
     shutil.rmtree(path, ignore_errors=True)
 
 

@@ -116,3 +116,19 @@ def test_engine_inline_norms_skip_doc_stats_join(spark, documents, tmp_path):
     assert eng.len_lookup is not None
     res = eng.search({"q": "data fast join"}, local=False)
     assert "doc_stats" not in checks.plan_text(res)
+
+
+def test_segmented_shuffle_is_range_partitioned(spark, built, index_path):
+    # seg is low-cardinality: hash partitioning leaves Poisson holes
+    # (VERDICT r2 #3) — the segmented tier must range-partition like
+    # the build paths (commit f7e1d2b).
+    import numpy as np
+
+    path, cfg = index_path
+    postings, doc_stats, stats, lexicon = built
+    blocks = spark.read.parquet(path)
+    lk = spark.sparkContext.broadcast(np.ones(16, dtype=np.int32))
+    res = qe.search_segmented(spark, blocks, lexicon, stats,
+                              {"q0": "data fast"}, cfg, len_lookup=lk)
+    txt = checks.plan_text(res).lower()
+    assert "rangepartitioning" in txt
