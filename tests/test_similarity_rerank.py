@@ -157,3 +157,57 @@ def test_trec_metrics_hand_case(spark):
     dcg = 1 / math.log2(2) + 1 / math.log2(4)
     assert m["ndcg"] == round(dcg / idcg, 6)
     assert m["recall"] == round(2 / 3, 6)
+
+
+# --- broadcast-centroid kernel (scale path past LITERAL_CENTROID_MAX) ------
+
+
+def test_ivf_assign_broadcast_matches_literal(emb):
+    lit = {(r["vec_id"], r["centroid_id"])
+           for r in sim.ivf_assign(emb, 64, method="literal").collect()}
+    bc = {(r["vec_id"], r["centroid_id"])
+          for r in sim.ivf_assign(emb, 64, method="broadcast").collect()}
+    assert lit == bc
+
+
+def test_ivf_topk_broadcast_matches_literal(emb):
+    lit = sorted(map(tuple, sim.ivf_topk(
+        emb, n_queries=4, k=10, n_centroids=64, nprobe=4,
+        method="literal").collect()))
+    bc = sorted(map(tuple, sim.ivf_topk(
+        emb, n_queries=4, k=10, n_centroids=64, nprobe=4,
+        method="broadcast").collect()))
+    assert lit == bc
+
+
+def test_neardup_broadcast_matches_literal(emb):
+    lit = sorted(map(tuple, sim.neardup_pairs(
+        emb, threshold=0.8, n_centroids=64, method="literal").collect()))
+    bc = sorted(map(tuple, sim.neardup_pairs(
+        emb, threshold=0.8, n_centroids=64, method="broadcast").collect()))
+    assert lit == bc
+
+
+def test_ivf_broadcast_1024_centroids_plan_stays_small(spark):
+    """VERDICT r2 #2 done-criterion: 1,024 centroids without the plan
+    string growing O(C*dim) — and assignments match numpy argmax."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n, dim, c = 1500, 16, 1024
+    mat = rng.randn(n, dim)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [[float(x) for x in row] for row in mat],
+    }))
+    got = sim.ivf_assign(df, c)  # auto-selects the broadcast kernel
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
+    got_map = {r["vec_id"]: r["centroid_id"] for r in got.collect()}
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    expect = np.argmax(matn @ matn[:c].T, axis=1)
+    assert len(got_map) == n
+    assert all(got_map[i] == expect[i] for i in range(n))
+    # topk through the kernel path also runs end-to-end
+    rows = sim.ivf_topk(df, n_queries=3, k=5, n_centroids=c, nprobe=8).collect()
+    assert len(rows) == 15
