@@ -95,12 +95,14 @@ FROM ({pages_rel})
 
 def domain_stats(pages: DataFrame) -> DataFrame:
     """Per-domain crawl-log rollup (A9, web_crawler.py:799-853):
-    page count, total/avg page bytes, first/last fetch time."""
+    page count, total/avg page bytes, first/last fetch time, and the
+    fetch-success rate (status == 200, web_crawler.py:800)."""
     return (
         pages.select(
             F.expr(_HOST).alias("domain"),
             F.octet_length("html").alias("nbytes"),
             "warc_ts",
+            (F.col("status") == 200).cast("int").alias("ok"),
         )
         .groupBy("domain")
         .agg(
@@ -109,6 +111,8 @@ def domain_stats(pages: DataFrame) -> DataFrame:
             F.round(F.avg("nbytes"), 6).alias("avg_bytes"),
             F.min("warc_ts").alias("first_ts"),
             F.max("warc_ts").alias("last_ts"),
+            F.sum("ok").cast("int").alias("n_ok"),
+            F.round(F.sum("ok") / F.count("*"), 6).alias("success_rate"),
         )
     )
 
@@ -120,9 +124,65 @@ SELECT {_HOST} AS domain,
        CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes,
        ROUND(AVG(octet_length(html)), 6) AS avg_bytes,
        MIN(warc_ts) AS first_ts,
-       MAX(warc_ts) AS last_ts
+       MAX(warc_ts) AS last_ts,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS INT) AS n_ok,
+       ROUND(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS success_rate
 FROM ({pages_rel})
 GROUP BY 1
+"""
+
+
+def status_histogram(pages: DataFrame) -> DataFrame:
+    """A9 — the crawl log's HTTP-status-code summary
+    (web_crawler.py:826-853: per-status counts over url_visited;
+    'Unexpected Failure' is status = -1 in the typed schema).  One
+    hash-agg on a ~5-value key: map-side partial aggregation reduces
+    each partition to a handful of rows, so at 10^12 pages the shuffle
+    is O(partitions), not O(rows)."""
+    return pages.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.octet_length("html")).alias("total_bytes"),
+    )
+
+
+def status_histogram_sql(pages_rel: str) -> str:
+    return f"""
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes
+FROM ({pages_rel})
+GROUP BY 1
+"""
+
+
+def crawl_summary(pages: DataFrame) -> DataFrame:
+    """A9 — the crawl log's closing statistics block
+    (web_crawler.py:799-841): total trials, successful (status 200)
+    pages, total size in MB, and the reference's avg-page-size formula
+    ``total_size_bytes / successful_pages / 1024`` KB
+    (web_crawler.py:803).  Single global agg — one row out."""
+    ok = (F.col("status") == 200).cast("int")
+    return pages.agg(
+        F.count("*").cast("long").alias("total_pages"),
+        F.sum(ok).cast("long").alias("ok_pages"),
+        F.round(F.sum(F.octet_length("html")) / F.lit(1024.0 * 1024.0), 6)
+        .alias("total_mb"),
+        F.round(
+            F.sum(F.octet_length("html"))
+            / F.greatest(F.sum(ok), F.lit(1)) / F.lit(1024.0), 6
+        ).alias("avg_ok_kb"),
+    )
+
+
+def crawl_summary_sql(pages_rel: str) -> str:
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_pages,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS ok_pages,
+       ROUND(SUM(octet_length(html)) / (1024.0 * 1024.0), 6) AS total_mb,
+       ROUND(SUM(octet_length(html))
+                 / GREATEST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END), 1)
+                 / 1024.0, 6) AS avg_ok_kb
+FROM ({pages_rel})
 """
 
 

@@ -2,7 +2,9 @@
 
 The engine's input is an Iceberg/Parquet table of Common-Crawl-style
 web pages ``(url string, warc_ts timestamp, html binary, text string,
-lang string)``.  In this sandbox we synthesize that table
+lang string)``, plus a ``status int`` fetch-outcome column feeding the
+crawl-log analytics (the reference's log rows each carry a status,
+``web_crawler.py:816-831``).  In this sandbox we synthesize that table
 deterministically from the driver's ``documents.parquet`` (doc_id,
 text, lang, source, n_chars) — same shape, same content, seedless
 (pure functions of doc_id/text), so Spark and the DuckDB oracle agree
@@ -41,6 +43,17 @@ _LINK_ABS_SQL = (
     "cast(doc_id as string))"
 )
 _LINK_HUB_SQL = "concat('https://hub', cast(doc_id % 7 as string), '.example.nz/index.html')"
+# Fetch outcome (A9 tail, web_crawler.py:826-853): the reference's
+# crawl log keys its histogram on the HTTP status (plus the string
+# 'Unexpected Failure' for parse/redirect-limit errors, which the
+# typed schema models as -1).  ~90% success, deterministic in doc_id.
+_STATUS_SQL = (
+    "CAST(CASE WHEN doc_id % 41 = 0 THEN 404"
+    " WHEN doc_id % 41 = 1 THEN 500"
+    " WHEN doc_id % 41 = 2 THEN 301"
+    " WHEN doc_id % 41 = 3 THEN -1"
+    " ELSE 200 END AS INT)"
+)
 _HTML_SQL = (
     "concat('<html><head><title>doc ', cast(doc_id as string),"
     "'</title></head><body><p>', text, '</p>',"
@@ -61,6 +74,7 @@ def synthesize(documents: DataFrame) -> DataFrame:
         F.encode(F.expr(_HTML_SQL), "UTF-8").alias("html"),
         F.col("text"),
         F.col("lang"),
+        F.expr(_STATUS_SQL).alias("status"),
     )
 
 
@@ -75,7 +89,8 @@ def synthesize_sql(documents_rel: str = "documents") -> str:
                TIMESTAMP '2024-01-01 00:00:00'
                    + to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts,
                ENCODE({_HTML_SQL}) AS html,
-               text, lang
+               text, lang,
+               {_STATUS_SQL} AS status
         FROM {documents_rel}
     """
 
