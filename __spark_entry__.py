@@ -359,7 +359,7 @@ def _q_trec_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = qe.queries_to_terms(spark, BATCH_QUERIES)
     run = qe.score_query_set(postings, qt, lexicon, doc_stats, stats, CFG)
     qrels = em.synth_qrels(docs, list(BATCH_QUERIES))
-    return em.trec_metrics(run, qrels, k=10)
+    return em.trec_metrics(run, qrels)
 
 
 def _trec_oracle() -> str:
@@ -385,7 +385,7 @@ run AS (
         FROM scored)
     WHERE rank <= {CFG.top_k})"""
     qrels_cte = f"qrels AS ({em.synth_qrels_sql(list(BATCH_QUERIES))})"
-    return em.trec_metrics_sql(run_cte, qrels_cte, k=10)
+    return em.trec_metrics_sql(run_cte, qrels_cte)
 
 
 def _q_streaming_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:

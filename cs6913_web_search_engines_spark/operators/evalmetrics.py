@@ -51,9 +51,12 @@ WHERE {hashing.hash60_sql(key)} % {QREL_MOD} = 0
 """
 
 
-def trec_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+def trec_metrics(run: DataFrame, qrels: DataFrame,
+                 ks: tuple[int, ...] = (10, 100)) -> DataFrame:
     """run(query_id, doc_id, rank) × qrels → per-query
-    (query_id, n_rel, rr, ap, ndcg, recall), rounded to 6 dp.
+    (query_id, n_rel, rr, ap, ndcg_<k>..., recall_<k>...), 6 dp —
+    the reference report's column set (HW3 Table 1: MAP, MRR,
+    NDCG@10/@100, Recall@100) at ``ks = (10, 100)``.
 
     Queries present in the run but with zero qrels get NULL metrics
     (pytrec_eval drops them; we surface them explicitly).
@@ -63,32 +66,42 @@ def trec_metrics(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
                     ["query_id", "doc_id"], "left").fillna(0, subset=["rel"])
     w = Window.partitionBy("query_id").orderBy("rank")
     hits = hits.withColumn("cum_rel", F.sum("rel").over(w))
-    per_q = hits.groupBy("query_id").agg(
+    aggs = [
         F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
         F.sum(F.when(F.col("rel") == 1, F.col("cum_rel") / F.col("rank"))
               .otherwise(0.0)).alias("ap_num"),
-        F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= k),
-                     1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)).alias("dcg"),
-        F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= k), 1)
-              .otherwise(0)).alias(f"hits_at_k"),
-    )
-    idcg = F.expr(
-        f"aggregate(sequence(1, least(n_rel, {k})), 0D, "
-        "(acc, i) -> acc + 1.0 / log2(i + 1))"
-    )
-    return (
-        per_q.join(r_tot, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_rel", F.lit(0)).cast("int").alias("n_rel"),
-            F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias("rr"),
-            F.when(F.col("n_rel") > 0,
-                   F.round(F.col("ap_num") / F.col("n_rel"), 6)).alias("ap"),
-            F.when(F.col("n_rel") > 0, F.round(F.col("dcg") / idcg, 6)).alias("ndcg"),
-            F.when(F.col("n_rel") > 0,
-                   F.round(F.col("hits_at_k") / F.col("n_rel"), 6)).alias("recall"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= k),
+                         1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0))
+            .alias(f"dcg_{k}"))
+        aggs.append(
+            F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= k), 1)
+                  .otherwise(0)).alias(f"hits_{k}"))
+    per_q = hits.groupBy("query_id").agg(*aggs)
+
+    def idcg(k: int):
+        return F.expr(
+            f"aggregate(sequence(1, least(n_rel, {k})), 0D, "
+            "(acc, i) -> acc + 1.0 / log2(i + 1))"
         )
-    )
+
+    cols = [
+        "query_id",
+        F.coalesce("n_rel", F.lit(0)).cast("int").alias("n_rel"),
+        F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias("rr"),
+        F.when(F.col("n_rel") > 0,
+               F.round(F.col("ap_num") / F.col("n_rel"), 6)).alias("ap"),
+    ]
+    for k in ks:
+        cols.append(F.when(F.col("n_rel") > 0,
+                           F.round(F.col(f"dcg_{k}") / idcg(k), 6))
+                    .alias(f"ndcg_{k}"))
+        cols.append(F.when(F.col("n_rel") > 0,
+                           F.round(F.col(f"hits_{k}") / F.col("n_rel"), 6))
+                    .alias(f"recall_{k}"))
+    return per_q.join(r_tot, "query_id", "left").select(*cols)
 
 
 def trec_run(results: DataFrame, run_tag: str = "cs6913-spark") -> DataFrame:
@@ -115,34 +128,58 @@ FROM ({ranked_rel}) WHERE rank <= {k}
 """
 
 
-def trec_summary(metrics: DataFrame) -> DataFrame:
-    """A10 — corpus-level metric means (``trec_eval.py:52-59``): mean
-    over queries that have qrels (pytrec_eval averages exactly those;
-    zero-qrel queries carry NULL metrics here and are excluded)."""
-    return metrics.filter(F.col("n_rel") > 0).agg(
+def trec_summary(metrics: DataFrame,
+                 ks: tuple[int, ...] = (10, 100)) -> DataFrame:
+    """A10 — corpus-level metric means (``trec_eval.py:52-59``),
+    shaped as the reference report's headline row (HW3 Table 1:
+    MAP, MRR, NDCG@10, NDCG@100, Recall@100): mean over queries that
+    have qrels (pytrec_eval averages exactly those; zero-qrel queries
+    carry NULL metrics here and are excluded)."""
+    aggs = [
         F.count("*").cast("int").alias("n_queries"),
-        F.round(F.avg("rr"), 6).alias("mrr"),
         F.round(F.avg("ap"), 6).alias("mean_ap"),
-        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
-        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+    ]
+    for k in ks:
+        aggs.append(F.round(F.avg(f"ndcg_{k}"), 6).alias(f"ndcg_at_{k}"))
+    aggs.append(F.round(F.avg(f"recall_{ks[-1]}"), 6)
+                .alias(f"recall_at_{ks[-1]}"))
+    return metrics.filter(F.col("n_rel") > 0).agg(*aggs)
+
+
+def trec_summary_sql(metrics_sql: str, ks: tuple[int, ...] = (10, 100)) -> str:
+    ndcg_cols = ",\n       ".join(
+        f"ROUND(AVG(ndcg_{k}), 6) AS ndcg_at_{k}" for k in ks
     )
-
-
-def trec_summary_sql(metrics_sql: str) -> str:
     return f"""
 SELECT CAST(COUNT(*) AS INT) AS n_queries,
-       ROUND(AVG(rr), 6) AS mrr,
        ROUND(AVG(ap), 6) AS mean_ap,
-       ROUND(AVG(ndcg), 6) AS mean_ndcg,
-       ROUND(AVG(recall), 6) AS mean_recall
+       ROUND(AVG(rr), 6) AS mrr,
+       {ndcg_cols},
+       ROUND(AVG(recall_{ks[-1]}), 6) AS recall_at_{ks[-1]}
 FROM ({metrics_sql})
 WHERE n_rel > 0
 """
 
 
-def trec_metrics_sql(run_cte: str, qrels_cte: str, k: int = 10) -> str:
+def trec_metrics_sql(run_cte: str, qrels_cte: str,
+                     ks: tuple[int, ...] = (10, 100)) -> str:
     """DuckDB oracle over CTEs named ``run`` (query_id, doc_id, rank)
     and ``qrels`` (query_id, doc_id, rel)."""
+    per_k_aggs = ",\n           ".join(
+        f"SUM(CASE WHEN rel = 1 AND rank <= {k} "
+        f"THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg_{k},\n           "
+        f"SUM(CASE WHEN rel = 1 AND rank <= {k} THEN 1 ELSE 0 END) AS hits_{k}"
+        for k in ks
+    )
+    per_k_cols = ",\n       ".join(
+        f"CASE WHEN t.n_rel > 0 THEN ROUND(dcg_{k} / list_sum(\n"
+        f"           [1.0 / log2(i + 1) for i in range(1, least(t.n_rel, {k}) + 1)]), 6)\n"
+        f"       END AS ndcg_{k},\n       "
+        f"CASE WHEN t.n_rel > 0 THEN ROUND(hits_{k} / t.n_rel::DOUBLE, 6) "
+        f"END AS recall_{k}"
+        for k in ks
+    )
     return f"""
 WITH {run_cte},
 {qrels_cte},
@@ -156,17 +193,12 @@ per_q AS (
     SELECT query_id,
            MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
            SUM(CASE WHEN rel = 1 THEN cum_rel / rank ELSE 0.0 END) AS ap_num,
-           SUM(CASE WHEN rel = 1 AND rank <= {k}
-                    THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg,
-           SUM(CASE WHEN rel = 1 AND rank <= {k} THEN 1 ELSE 0 END) AS hits_at_k
+           {per_k_aggs}
     FROM hits GROUP BY query_id)
 SELECT p.query_id,
        CAST(COALESCE(t.n_rel, 0) AS INT) AS n_rel,
        ROUND(COALESCE(1.0 / first_rel, 0.0), 6) AS rr,
        CASE WHEN t.n_rel > 0 THEN ROUND(ap_num / t.n_rel, 6) END AS ap,
-       CASE WHEN t.n_rel > 0 THEN ROUND(dcg / list_sum(
-           [1.0 / log2(i + 1) for i in range(1, least(t.n_rel, {k}) + 1)]), 6)
-       END AS ndcg,
-       CASE WHEN t.n_rel > 0 THEN ROUND(hits_at_k / t.n_rel::DOUBLE, 6) END AS recall
+       {per_k_cols}
 FROM per_q p LEFT JOIN r_tot t USING (query_id)
 """

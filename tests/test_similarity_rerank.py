@@ -149,14 +149,37 @@ def test_trec_metrics_hand_case(spark):
         [("q", 1, 1), ("q", 3, 1), ("q", 99, 1)],
         "query_id string, doc_id long, rel int",
     )
-    m = em.trec_metrics(run, qrels, k=10).collect()[0]
+    m = em.trec_metrics(run, qrels).collect()[0]
     assert m["n_rel"] == 3
     assert m["rr"] == 1.0
     assert m["ap"] == round((1 / 1 + 2 / 3) / 3, 6)
     idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
     dcg = 1 / math.log2(2) + 1 / math.log2(4)
-    assert m["ndcg"] == round(dcg / idcg, 6)
-    assert m["recall"] == round(2 / 3, 6)
+    # the 4-row run fits inside both cutoffs, so @10 == @100 here;
+    # the cutoffs differing on longer runs is pinned by a second case
+    assert m["ndcg_10"] == round(dcg / idcg, 6)
+    assert m["ndcg_100"] == round(dcg / idcg, 6)
+    assert m["recall_100"] == round(2 / 3, 6)
+
+
+def test_trec_metrics_cutoffs_differ(spark):
+    # relevant doc at rank 12: inside @100, outside @10
+    run = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 21)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 12, 1)], "query_id string, doc_id long, rel int",
+    )
+    m = em.trec_metrics(run, qrels).collect()[0]
+    assert m["ndcg_10"] == 0.0 and m["recall_10"] == 0.0
+    assert m["recall_100"] == 1.0
+    assert m["ndcg_100"] == round((1 / math.log2(13)) / (1 / math.log2(2)), 6)
+    s = em.trec_summary(em.trec_metrics(run, qrels)).collect()[0]
+    assert s["n_queries"] == 1
+    assert s["mrr"] == round(1 / 12, 6)
+    assert s["ndcg_at_10"] == 0.0
+    assert s["recall_at_100"] == 1.0
 
 
 # --- broadcast-centroid kernel (scale path past LITERAL_CENTROID_MAX) ------
