@@ -18,11 +18,12 @@ targets 10^12-doc scale:
   cardinality → uniform); exact Jaccard verifies candidates.  This is
   the standard shingle→minhash→band→bucket-join pipeline; per-doc
   signature state is O(k), never O(shingles).
-* **SimHash**: 64-bit tf-weighted signature from md5-nibble bits; a
-  band join with ``max_hamming + 1`` bands finds ALL pairs with
-  Hamming distance ≤ max_hamming by pigeonhole (band count derived
-  from the radius — complete at any radius ≤ 63); zip_with popcount
-  verifies.
+* **SimHash**: 64-bit tf-weighted signature from md5-nibble bits,
+  carried through the band join as ONE packed int64 (8 bytes/row, not
+  a 64-int array); a band join with ``max_hamming + 1`` bands finds
+  ALL pairs with Hamming distance ≤ max_hamming by pigeonhole (band
+  count derived from the radius — complete at any radius ≤ 63);
+  ``bit_count(xor)`` verifies.
 
 Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle
 reproduces values bit-for-bit.
@@ -402,40 +403,75 @@ def simhash_signatures(postings: DataFrame) -> DataFrame:
     )
 
 
+def simhash_signatures_packed(postings: DataFrame) -> DataFrame:
+    """(doc_id, sig int64) — the 64-bit signature packed into ONE long
+    (bit b of ``sig`` = bits[b] of :func:`simhash_signatures`; bit 63
+    lands in the sign via two's complement — each power of two appears
+    at most once, so the sum never overflows).
+
+    This is the shuffle-width fix for the band join: carrying the
+    signature as 8 bytes instead of a 64-element int array cuts the
+    candidate shuffle by ~30× and turns the Hamming verify into one
+    ``bit_count(xor)`` instruction."""
+    contrib = postings.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, {m}), b -> tf * (2 * {bit} - 1))".format(
+                    m=SIMHASH_BITS - 1,
+                    bit=hashing.bit_expr_spark("term", "b"),
+                )
+            )
+        ).alias("b", "c"),
+    )
+    return (
+        contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("sig")
+        )
+    )
+
+
+def _band_key_expr(start: int, width: int):
+    """Band ``[start, start+width)`` (1-based over bit positions) of a
+    packed ``sig`` as a long key."""
+    if width >= SIMHASH_BITS:
+        return F.col("sig")
+    mask = (1 << width) - 1
+    return F.expr(f"shiftrightunsigned(sig, {start - 1}) & {mask}L")
+
+
 def simhash_pairs(postings: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming) for ALL pairs with Hamming(sig) ≤
     max_hamming.
 
     Band join with ``max_hamming + 1`` bands (simhash_band_bounds):
     any qualifying pair agrees exactly on ≥1 band (pigeonhole), so the
-    bucket join is complete at every max_hamming ≤ 63; zip_with
-    popcount then computes the exact distance.  More bands = more
-    candidate volume — the price of full recall at larger radii.
-    """
-    sig = simhash_signatures(postings)
+    bucket join is complete at every max_hamming ≤ 63;
+    ``bit_count(sig_a ^ sig_b)`` then computes the exact distance.
+    More bands = more candidate volume — the price of full recall at
+    larger radii.  Both the band shuffle and the candidate join carry
+    the signature as one packed int64 (:func:`simhash_signatures_packed`),
+    not the 64-int array — 8 bytes/row/side instead of ~260."""
+    sig = simhash_signatures_packed(postings)
     bounds = simhash_band_bounds(max_hamming)
-    keys = F.array(*[
-        F.concat_ws("", F.transform(F.slice("bits", s, w),
-                                    lambda x: x.cast("string")))
-        for s, w in bounds
-    ])
+    keys = F.array(*[_band_key_expr(s, w) for s, w in bounds])
     bandtab = sig.select(
-        "doc_id", "bits", F.posexplode(keys).alias("band", "key")
+        "doc_id", "sig", F.posexplode(keys).alias("band", "key")
     )
-    a = bandtab.withColumnsRenamed({"doc_id": "doc_a", "bits": "bits_a"})
-    b = bandtab.withColumnsRenamed({"doc_id": "doc_b", "bits": "bits_b"})
+    a = bandtab.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
+    b = bandtab.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            F.aggregate(
-                F.zip_with(F.col("bits_a"), F.col("bits_b"),
-                           lambda x, y: F.abs(x - y)),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            ).alias("hamming"),
+            F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -149,6 +149,30 @@ def test_simhash_pairs_complete_at_radius(toy):
         assert got == expected, radius
 
 
+def test_simhash_packed_matches_bits_array(toy):
+    postings = ib.build_postings(toy)
+    bits = {r["doc_id"]: r["bits"]
+            for r in dedup.simhash_signatures(postings).collect()}
+    packed = {r["doc_id"]: r["sig"]
+              for r in dedup.simhash_signatures_packed(postings).collect()}
+    assert set(bits) == set(packed)
+    for d, arr in bits.items():
+        want = sum(bit << b for b, bit in enumerate(arr))
+        if want >= 1 << 63:           # two's-complement reinterpretation
+            want -= 1 << 64
+        assert packed[d] == want, d
+
+
+def test_simhash_band_shuffle_carries_no_array(toy):
+    # the shuffle-width fix: the band join must NOT move the 64-int
+    # bits array — only the packed long (8 bytes/row/side)
+    postings = ib.build_postings(toy)
+    plan = (dedup.simhash_pairs(postings, max_hamming=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "bits" not in plan
+    assert "array<int>" not in plan.lower().replace(" ", "")
+
+
 def test_quality_and_counts(toy):
     q = {r["doc_id"]: r for r in ta.quality_scores(toy).collect()}
     assert q[4]["n_tokens"] == 0 and q[4]["quality"] == 0.0
