@@ -33,8 +33,20 @@ index answers queries identically), then re-aggregates the lexicon
 from block metadata (a scan of the compact index, no decode).
 
 Watermark/stateful operators are intentionally absent: postings are
-append-only facts (no late-data semantics); dedup/compaction happen
-at merge time.
+append-only facts (no late-data semantics); dedup happens at merge
+time.
+
+**Compaction** (:func:`compact_index`): each drain APPENDS a fresh
+block-row generation per touched (term, seg) group, so a hot term's
+query-time block-row count grows linearly with drains.  Compaction
+re-encodes every group spanning more than ``max_generations``
+generations (detected structurally: each generation restarts
+``block_id`` at 0, so generations = count of block_id==0 rows) into
+the single-generation encoding — decode → the same (term, seg,
+doc_id)-sorted encode the batch build runs — and rewrites ONLY the
+term shards that contain fragmented groups (cost ∝ fragmentation,
+not index size).  After full compaction the index is byte-identical
+to the one-shot batch build, which the tests assert.
 """
 
 from __future__ import annotations
@@ -65,10 +77,16 @@ def run_incremental_build(
     docs_dir: str,
     out: str,
     cfg: EngineConfig = DEFAULT,
+    compact_generations: int | None = None,
 ) -> dict:
     """Drain all available input (Trigger.AvailableNow), appending one
     posting-run per micro-batch, then finalize the compressed index
-    incrementally (only runs not yet encoded).  Returns build stats."""
+    incrementally (only runs not yet encoded).  Returns build stats.
+
+    ``compact_generations``: when set, finalize ends with
+    :func:`compact_index` — (term, seg) groups spanning more than this
+    many appended generations are re-encoded into one (and the stats
+    gain the compaction counters)."""
     import json
 
     runs_dir = os.path.join(out, "runs")
@@ -131,6 +149,10 @@ def run_incremental_build(
         blocks_new.write.partitionBy("shard").mode("append").parquet(index_dir)
         with open(fin_path, "w") as f:
             json.dump({"runs": all_runs}, f)
+    compact_stats = {}
+    if compact_generations is not None:
+        compact_stats = compact_index(spark, out, cfg,
+                                      max_generations=compact_generations)
     blocks = spark.read.parquet(index_dir)
     # lexicon re-agg is a scan of block METADATA only (no payload
     # decode; parquet column pruning drops the binary columns)
@@ -143,4 +165,79 @@ def run_incremental_build(
         "n_new_runs": len(new_runs),
         "n_postings": int(blocks.agg(F.sum("n_postings")).collect()[0][0] or 0),
         "out": out,
+        **compact_stats,
     }
+
+
+def compact_index(
+    spark: SparkSession,
+    out: str,
+    cfg: EngineConfig = DEFAULT,
+    max_generations: int = 1,
+) -> dict:
+    """Re-encode fragmented (term, seg) groups into one generation.
+
+    Each incremental drain appends a fresh block-row *generation* per
+    touched group (block_id restarts at 0), so a hot term's query-time
+    block-row count grows linearly with drains.  Compaction:
+
+    1. Generations per group = count of ``block_id == 0`` rows — a
+       metadata-only aggregate (parquet prunes the payload columns).
+    2. Groups spanning > ``max_generations`` generations are decoded
+       (blocks decode independently — absolute chunk-leading docIDs)
+       and re-encoded through the SAME (term, seg, doc_id)-sorted
+       :func:`block_codec.encode_index` kernel the batch build uses,
+       so a fully-compacted index is byte-identical to the one-shot
+       batch build (tests assert this).
+    3. Only term shards CONTAINING fragmented groups are rewritten
+       (pass-through rows union re-encoded rows, staged to a temp dir
+       then swapped per ``shard=K`` partition) — I/O cost scales with
+       fragmentation, not index size.  On an Iceberg-backed index this
+       step is a rewrite_data_files action over the same row set.
+
+    Idempotent: a compacted group has one generation and is skipped.
+    """
+    import shutil
+
+    from cs6913_web_search_engines_spark.operators import block_codec as bc
+
+    index_dir = os.path.join(out, "index")
+    blocks = spark.read.parquet(index_dir)
+    frag = (
+        blocks.groupBy("term", "seg")
+        .agg(F.count(F.when(F.col("block_id") == 0, 1)).alias("n_gen"))
+        .filter(F.col("n_gen") > max_generations)
+        .select("term", "seg")
+    )
+    # shard = f(term): every generation of a fragmented group lives in
+    # one shard partition, so the rewrite set is a shard list (≤
+    # n_term_shards values — a scalar collect, not data)
+    affected = [
+        r["shard"]
+        for r in blocks.join(frag, ["term", "seg"], "left_semi")
+        .select("shard").distinct().collect()
+    ]
+    n_frag = frag.count()
+    if not affected:
+        return {"compacted_groups": 0, "compacted_shards": 0}
+    in_shards = blocks.filter(F.col("shard").isin(affected))
+    frag_rows = in_shards.join(frag, ["term", "seg"], "left_semi")
+    keep_rows = in_shards.join(frag, ["term", "seg"], "left_anti")
+    # decode → re-encode is the batch-build merge over just these
+    # groups; encode_index re-derives seg = doc_id // segment_docs,
+    # identical to the stored seg under the same cfg
+    redone = bc.encode_index(
+        bc.decode_postings(frag_rows, cfg).select("doc_id", "term", "tf"), cfg
+    )
+    cols = bc._BLOCK_COLS + ["shard"]
+    staged = keep_rows.select(*cols).unionByName(redone.select(*cols))
+    tmp = index_dir + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    staged.write.partitionBy("shard").mode("overwrite").parquet(tmp)
+    for k in affected:
+        dst = os.path.join(index_dir, f"shard={k}")
+        src = os.path.join(tmp, f"shard={k}")
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"compacted_groups": int(n_frag), "compacted_shards": len(affected)}
