@@ -9,9 +9,14 @@ document-at-a-time cursor walk:
 
 * Every posting of a doc (for every term) lives in the doc's segment
   ``seg = doc_id // segment_docs``, and in exactly one block of each
-  term — so a doc's total score is bounded by
-  ``seg_ub(q, seg) = Σ_t max(0, best block ub of t in seg)``
-  (clamped at 0 because a doc may simply lack the term).
+  term.  A *matching* doc contains at least one query term (whose
+  postings are in the doc's own segment), so its score is bounded by
+  ``seg_ub(q, seg) = Σ_t max(0, ub_t) + max_t min(ub_t, 0)``
+  (the optional terms clamp at 0; the best mandatory term may be
+  negative — this stays below 0 in the all-head-term regime where the
+  naive clamped sum degenerates to 0 and can never be pruned by a
+  negative θ).  Conjunctive docs contain every term, so the plain
+  unclamped ``Σ_t ub_t`` bounds them.
 * ``ub`` is a pure Column expression over block metadata (``max_tf``,
   df, corpus stats) — no decode, no Python.  Bounds stay sound for
   the reference's *unclamped* IDF (negative for df > N/2):
@@ -142,11 +147,33 @@ def search_pruned(
         F.max("ub").alias("term_ub"),
         F.first("n_terms").alias("n_terms"),
     ).withColumn("term_ub_pos", F.greatest(F.col("term_ub"), F.lit(0.0)))
-    # Per (query, seg): clamped summed bound + #query terms present.
-    seg_ub = term_seg.groupBy("query_id", "seg").agg(
-        F.sum("term_ub_pos").alias("seg_ub"),
-        F.count("*").alias("n_terms_present"),
-        F.first("n_terms").alias("n_terms"),
+    # Per (query, seg): bounds + #query terms present.
+    #
+    # ``sum_pos = Σ_t max(0, ub_t)`` is the bound for a doc that may
+    # contain ANY subset of terms — but an empty subset is not a
+    # match.  A matching doc contains ≥1 query term t0, and t0's
+    # postings live in the doc's own segment, so
+    #     score ≤ max_{t0 present} [ub_t0 + Σ_{t'≠t0} max(0, ub_t')]
+    #           = sum_pos + max_t min(ub_t, 0)
+    # — strictly sharper when every term in the segment has negative
+    # ub (the unclamped-idf head-term regime, where the clamped bound
+    # degenerates to 0 and can never fall below a negative θ).  For
+    # conjunctive queries the doc contains ALL terms, so the plain
+    # unclamped sum ``Σ_t ub_t`` bounds it (sharper again).
+    seg_ub = (
+        term_seg.groupBy("query_id", "seg")
+        .agg(
+            F.sum("term_ub_pos").alias("sum_pos"),
+            F.sum("term_ub").alias("sum_all"),
+            F.max(F.least(F.col("term_ub"), F.lit(0.0))).alias("best_neg"),
+            F.count("*").alias("n_terms_present"),
+            F.first("n_terms").alias("n_terms"),
+        )
+        .withColumn(
+            "seg_ub",
+            F.col("sum_all") if conjunctive
+            else F.col("sum_pos") + F.col("best_neg"),
+        )
     )
     if conjunctive:
         # A conjunctive match needs every term; all of a doc's postings
@@ -201,7 +228,11 @@ def search_pruned(
     survivors = (
         meta.join(kept_segs.select("query_id", "seg"),
                   ["query_id", "seg"], "left_semi")
-        .join(seg_ub.select("query_id", "seg", "seg_ub"), ["query_id", "seg"])
+        # block-level bound: the doc CONTAINS this term (ub accounts it
+        # exactly), the others stay optional → the CLAMPED sum_pos,
+        # not the sharpened seg_ub (which assumes the best single
+        # mandatory term and would under-bound docs holding this one)
+        .join(seg_ub.select("query_id", "seg", "sum_pos"), ["query_id", "seg"])
         .join(term_seg.select("query_id", "term", "seg", "term_ub_pos"),
               ["query_id", "term", "seg"])
         .join(theta, "query_id", "left")
@@ -210,7 +241,7 @@ def search_pruned(
             # never block-prune negative-idf terms (df ≥ N/2): dropping
             # a negative contribution would inflate partial scores
             | (F.col("df") * 2 >= F.lit(total_docs))
-            | (F.col("ub") + F.col("seg_ub") - F.col("term_ub_pos")
+            | (F.col("ub") + F.col("sum_pos") - F.col("term_ub_pos")
                >= F.col("theta"))
         )
         .select("query_id", "term", "seg", "block_id")

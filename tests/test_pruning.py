@@ -68,6 +68,48 @@ def test_pruned_with_tiny_k(spark, compressed):
     assert _canon(got) == _canon(want)
 
 
+def test_pruning_actually_prunes_on_selective_terms(spark, tmp_path):
+    """On a corpus with a rare, concentrated term the pruned tier must
+    (a) decode strictly fewer blocks than the exhaustive plan and
+    (b) stay rank-identical.
+
+    The per-round bench corpus (31-word uniform vocabulary) makes
+    every query term a head term — negative idf, uniform block maxima
+    — so pruning is structurally impossible there (recorded ratio
+    0.0); this fixture is the selective-term regime where block-max
+    pruning earns its keep: 'rare' lives only in segment 0 with high
+    tf, so θ seeded there exceeds every other segment's bound."""
+    rows = []
+    for d in range(2048):
+        words = ["common", "filler"]
+        if d < 64:
+            words += ["rare"] * 8          # concentrated + high tf
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(segment_docs=64, n_term_shards=4, top_k=10)
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    stats = ib.corpus_stats(doc_stats)
+    lexicon = ib.build_lexicon(postings)
+    path = str(tmp_path / "index")
+    bc.write_index(bc.encode_index(postings, cfg), path)
+
+    queries = {"q1": "rare common", "q2": "rare"}
+    counters: dict = {}
+    got = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, queries, cfg,
+        seed_segs=1, counters=counters,
+    ).collect()
+    want = qe.search_compressed(
+        spark, path, lexicon, doc_stats, stats, queries, cfg,
+    ).collect()
+    assert _canon(got) == _canon(want)
+    assert counters["survivor_blocks"] < counters["exhaustive_blocks"]
+    # the rare term's 32-segment spread of 'common' blocks must be
+    # mostly gone: ≥half the block rows pruned
+    assert counters["survivor_blocks"] <= counters["exhaustive_blocks"] // 2
+
+
 def test_upper_bound_is_sound(spark, compressed):
     """Every actual BM25 term contribution must be ≤ its block's ub."""
     path, cfg, postings, doc_stats, stats, lexicon = compressed
