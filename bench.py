@@ -156,6 +156,53 @@ def main() -> None:
         if counters.get("exhaustive_blocks") else None
     )
 
+    # Skew phase: block-max pruning needs selective terms AND score
+    # skew; the uniform replicated corpus has neither (every segment
+    # holds a near-bound doc), so the honest ratio above is 0.0.  This
+    # twin corpus concentrates a high-tf term in segment 0 — the Zipf
+    # head/tail shape real corpora have — and records the pruned
+    # tier's block ratio + time against the exhaustive distributed
+    # path where pruning can actually fire.
+    hot = " ".join(["hotterm"] * 100)
+    docs_skew = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 2048,
+               F.concat(F.col("text"), F.lit(" " + hot)))
+        .otherwise(F.col("text")),
+    )
+    shutil.rmtree(OUT + "_skew", ignore_errors=True)
+    ib.build_full(spark, docs_skew, OUT + "_skew", cfg,
+                  checkpoint_runs=False, fused=True)
+    eng_skew = QueryEngine(spark, OUT + "_skew", cfg)
+    skew_queries = {
+        f"p{i}": f"hotterm {w}q{i}"
+        for i, w in enumerate(
+            ["data", "fast", "the", "query", "merge", "sort", "spark",
+             "filter"])
+    }
+    skew_counters: dict = {}
+    pruning.search_pruned(            # warm + block accounting
+        spark, eng_skew.index_path, eng_skew.lexicon, eng_skew.doc_stats,
+        eng_skew.stats, skew_queries, cfg,
+        broadcast_doc_stats=eng_skew.broadcast_doc_stats,
+        blocks=eng_skew.blocks, len_lookup=eng_skew.len_lookup,
+        counters=skew_counters,
+    ).count()
+    t0 = time.time()
+    pruning.search_pruned(
+        spark, eng_skew.index_path, eng_skew.lexicon, eng_skew.doc_stats,
+        eng_skew.stats, skew_queries, cfg,
+        broadcast_doc_stats=eng_skew.broadcast_doc_stats,
+        blocks=eng_skew.blocks, len_lookup=eng_skew.len_lookup,
+    ).count()
+    t_skew_pruned = time.time() - t0
+    t0 = time.time()
+    eng_skew.search(skew_queries, local=False).count()
+    t_skew_dist = time.time() - t0
+    skew_ratio = round(
+        1.0 - skew_counters["survivor_blocks"]
+        / max(skew_counters["exhaustive_blocks"], 1), 4)
+
     # single-query latency p50 (5 repeats, warm JVM)
     lat = []
     for _ in range(5):
@@ -165,7 +212,7 @@ def main() -> None:
     p50 = statistics.median(lat)
 
     total = (t_build + t_fused + t_load + t_batch + t_batch_dist
-             + t_batch_pruned + sum(lat))
+             + t_batch_pruned + t_skew_pruned + t_skew_dist + sum(lat))
     out = {
         "metric": "index-build + bm25-query wall time (sf docs x replicate)",
         "value": round(total, 3),
@@ -177,11 +224,16 @@ def main() -> None:
             "query_batch8": round(t_batch, 3),
             "query_batch8_dist": round(t_batch_dist, 3),
             "query_batch8_pruned": round(t_batch_pruned, 3),
+            "query_skew8_pruned": round(t_skew_pruned, 3),
+            "query_skew8_dist": round(t_skew_dist, 3),
             "query_single_p50": round(p50, 3),
         },
         "pruned_block_ratio": prune_ratio,
         "pruned_blocks_decoded": counters.get("survivor_blocks"),
         "pruned_blocks_exhaustive": counters.get("exhaustive_blocks"),
+        "pruned_block_ratio_skew": skew_ratio,
+        "pruned_blocks_decoded_skew": skew_counters.get("survivor_blocks"),
+        "pruned_blocks_exhaustive_skew": skew_counters.get("exhaustive_blocks"),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_docs": n_docs,
         "n_postings": n_postings,

@@ -136,34 +136,41 @@ def build_lexicon(postings: DataFrame) -> DataFrame:
 # Posting runs: checkpointed stage-1 output with manifests (resumable)
 # ---------------------------------------------------------------------------
 
-def _bucket_counts(path: str, spark: SparkSession | None = None) -> dict[int, int]:
-    """{bucket: n_rows} by summing parquet footer row counts per
-    ``run=<bucket>`` directory — metadata-only, no data scan.
+def _bucket_counts(path: str,
+                   spark: SparkSession | None = None) -> dict[int, tuple[int, int | None]]:
+    """{bucket: (n_rows, n_bytes)} by summing parquet footer row
+    counts + file sizes per ``run=<bucket>`` directory — metadata-only,
+    no data scan.  Rows and BYTES per partition are the build metrics
+    the checkpoint manifest records (skew in either flags a bad bucket
+    function long before a query does).
 
     The footer fast path only works for local-filesystem paths; for
     URI schemes (hdfs://, s3a://) it falls back to a Spark
     ``groupBy(run).count()``, which AQE keeps cheap (footer-driven
-    row-count stats make it near-metadata-only too)."""
+    row-count stats make it near-metadata-only too; byte sizes are
+    not visible to that path and come back None)."""
     if os.path.isdir(path):
         import pyarrow.parquet as pq
 
-        counts: dict[int, int] = {}
+        counts: dict[int, tuple[int, int | None]] = {}
         for name in os.listdir(path):
             if not name.startswith("run="):
                 continue
             bucket = int(name.split("=", 1)[1])
-            total = 0
+            total = nbytes = 0
             d = os.path.join(path, name)
             for f in os.listdir(d):
                 if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-            counts[bucket] = total
+                    full = os.path.join(d, f)
+                    total += pq.ParquetFile(full).metadata.num_rows
+                    nbytes += os.path.getsize(full)
+            counts[bucket] = (total, nbytes)
         return counts
     if spark is None:
         raise ValueError(f"non-local runs path {path!r} needs a SparkSession "
                          "for the count fallback")
     rows = spark.read.parquet(path).groupBy("run").count().collect()
-    return {int(r["run"]): int(r["count"]) for r in rows}
+    return {int(r["run"]): (int(r["count"]), None) for r in rows}
 
 
 def run_bucket(cfg: EngineConfig = DEFAULT):
@@ -240,16 +247,17 @@ def write_runs(
     # per-bucket row counts from parquet FOOTERS (driver-side metadata
     # read) — no second scan of the runs table
     counts = _bucket_counts(path, postings.sparkSession)
+    n_rows = sum(n for n, _ in counts.values())
     manifest = {
         "format": "postings-runs-v1",
         "bucket_fn": bucket_fn,
         "lineage": lineage or {},
         "elapsed_sec": elapsed,
-        "total_postings": int(sum(counts.values())),
-        "postings_per_sec": (sum(counts.values()) / elapsed) if elapsed > 0 else None,
+        "total_postings": int(n_rows),
+        "postings_per_sec": (n_rows / elapsed) if elapsed > 0 else None,
         "buckets": [
-            {"bucket": int(b), "rows": int(n), "complete": True}
-            for b, n in sorted(counts.items())
+            {"bucket": int(b), "rows": int(n), "bytes": sz, "complete": True}
+            for b, (n, sz) in sorted(counts.items())
         ],
     }
     with open(manifest_path, "w") as f:
