@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             webpages.synthesize(_docs(s, d))),
         "crawl_summary": lambda s, d: weblog.crawl_summary(
             webpages.synthesize(_docs(s, d))),
+        "thread_stats": lambda s, d: weblog.thread_stats(
+            webpages.synthesize(_docs(s, d))),
         "crawl_priority": lambda s, d: weblog.crawl_priority(
             webpages.synthesize(_docs(s, d))),
         "link_graph": lambda s, d: weblog.link_graph(
@@ -527,6 +529,7 @@ FROM postings GROUP BY 1
         "domain_stats": weblog.domain_stats_sql(_PAGES_REL),
         "status_histogram": weblog.status_histogram_sql(_PAGES_REL),
         "crawl_summary": weblog.crawl_summary_sql(_PAGES_REL),
+        "thread_stats": weblog.thread_stats_sql(_PAGES_REL),
         "crawl_priority": weblog.crawl_priority_sql(_PAGES_REL),
         "link_graph": weblog.link_graph_sql(_PAGES_REL),
         "domain_in_degree": weblog.domain_in_degree_sql(_PAGES_REL),

@@ -45,6 +45,10 @@ NORMS_IN_RAM_MAX_DOCS = 64_000_000
 # TakeOrderedAndProject), and exactly the reference's single-node
 # scoring model (QueryProcessor.cpp:459-509).
 LOCAL_EXEC_MAX_POSTINGS = 5_000_000
+# Average per-query candidate-posting volume above which the
+# block-max pruned tier pays for its threshold-seeding passes; below,
+# the segmented/exhaustive plans answer faster.
+PRUNED_MIN_AVG_CANDIDATES = 5_000_000
 
 
 class QueryEngine:
@@ -219,7 +223,7 @@ class QueryEngine:
             return self._search_local(queries, dfs, conjunctive, mode)
         if pruned is None:
             avg_candidates = sum(dfs.values()) / max(len(queries), 1)
-            pruned = avg_candidates >= 5_000_000
+            pruned = avg_candidates >= PRUNED_MIN_AVG_CANDIDATES
         if not pruned and self.len_lookup is not None:
             # distributed batch tier: segment-at-a-time kernel (decode
             # + score + local top-k in one Arrow pass; ~16× less

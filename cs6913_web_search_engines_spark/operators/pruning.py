@@ -217,6 +217,13 @@ def search_pruned(
     theta = seed_topk.filter(F.col("rank") == cfg.top_k).select(
         "query_id", F.col("score").alias("theta")
     )
+    # θ is one scalar per query but its plan carries the whole seed
+    # decode+score subtree; downstream it is referenced twice (segment
+    # keep filter + block filter), and Python-UDF subplans never
+    # canonicalize equal, so Catalyst cannot ReusedExchange them — left
+    # lazy, the seed phase would execute 3× inside the final job.
+    # Materialize the (tiny) θ table once instead.
+    theta = theta.localCheckpoint(eager=True)
 
     # Phase 2: segments whose bound can still matter.  Queries with
     # fewer than k seed results get θ = -inf (left-join null keeps all).

@@ -174,6 +174,30 @@ def crawl_summary(pages: DataFrame) -> DataFrame:
     )
 
 
+def thread_stats(pages: DataFrame) -> DataFrame:
+    """A9 — per-thread crawl totals ("Thread-i processed N URLs",
+    web_crawler.py:846-853's thread_stats block, plus the per-thread
+    success split the log derives).  One hash-agg on the 10-value
+    thread key; at any scale this is a map-side-combined 10-row
+    aggregate."""
+    ok = (F.col("status") == 200).cast("int")
+    return pages.groupBy("thread").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(ok).cast("long").alias("n_ok"),
+        F.round(F.sum(F.octet_length("html")) / F.lit(1024.0), 6)
+        .alias("total_kb"),
+    )
+
+
+def thread_stats_sql(pages_rel: str) -> str:
+    return f"""
+SELECT thread, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       ROUND(SUM(octet_length(html)) / 1024.0, 6) AS total_kb
+FROM ({pages_rel}) GROUP BY thread
+"""
+
+
 def crawl_summary_sql(pages_rel: str) -> str:
     return f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS total_pages,

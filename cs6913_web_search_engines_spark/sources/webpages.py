@@ -2,9 +2,10 @@
 
 The engine's input is an Iceberg/Parquet table of Common-Crawl-style
 web pages ``(url string, warc_ts timestamp, html binary, text string,
-lang string)``, plus a ``status int`` fetch-outcome column feeding the
-crawl-log analytics (the reference's log rows each carry a status,
-``web_crawler.py:816-831``).  In this sandbox we synthesize that table
+lang string)``, plus ``status int`` and ``thread string`` fetch-
+outcome/attribution columns feeding the crawl-log analytics (the
+reference's log rows each carry a status and a fetching thread,
+``web_crawler.py:586-650,816-853``).  In this sandbox we synthesize that table
 deterministically from the driver's ``documents.parquet`` (doc_id,
 text, lang, source, n_chars) — same shape, same content, seedless
 (pure functions of doc_id/text), so Spark and the DuckDB oracle agree
@@ -54,6 +55,10 @@ _STATUS_SQL = (
     " WHEN doc_id % 41 = 3 THEN -1"
     " ELSE 200 END AS INT)"
 )
+# Fetch-worker attribution (A9 tail): the reference crawls with 10
+# named threads and logs per-thread URL totals
+# (web_crawler.py:586-597,846-853); deterministic in doc_id.
+_THREAD_SQL = "concat('Thread-', CAST(doc_id % 10 + 1 AS STRING))"
 _HTML_SQL = (
     "concat('<html><head><title>doc ', cast(doc_id as string),"
     "'</title></head><body><p>', text, '</p>',"
@@ -75,6 +80,7 @@ def synthesize(documents: DataFrame) -> DataFrame:
         F.col("text"),
         F.col("lang"),
         F.expr(_STATUS_SQL).alias("status"),
+        F.expr(_THREAD_SQL).alias("thread"),
     )
 
 
@@ -90,7 +96,8 @@ def synthesize_sql(documents_rel: str = "documents") -> str:
                    + to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts,
                ENCODE({_HTML_SQL}) AS html,
                text, lang,
-               {_STATUS_SQL} AS status
+               {_STATUS_SQL} AS status,
+               {_THREAD_SQL} AS thread
         FROM {documents_rel}
     """
 

@@ -201,6 +201,13 @@ def compact_index(
 
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
+    if "://" in out:
+        # the shard-swap below is os-level; a remote index (hdfs://,
+        # s3a://) wants the table format's own rewrite action
+        # (e.g. Iceberg rewrite_data_files) over the same row set
+        raise NotImplementedError(
+            "compact_index swaps shard directories on the local "
+            f"filesystem; got URI path {out!r}")
     index_dir = os.path.join(out, "index")
     blocks = spark.read.parquet(index_dir)
     frag = (

@@ -102,6 +102,23 @@ def test_eviction_with_mixed_cached_and_new_terms(spark, built_index, monkeypatc
     assert got and _key(got) == _key(ref)
 
 
+def test_auto_tier_selects_pruned_for_huge_candidate_sets(
+        spark, built_index, monkeypatch):
+    # pruned=None auto-selects the block-max tier when the per-query
+    # candidate volume crosses PRUNED_MIN_AVG_CANDIDATES; shrink the
+    # threshold so the auto path takes the pruned branch through
+    # engine.search (not a direct search_pruned call), rank-identical
+    # to the segmented tier.
+    import cs6913_web_search_engines_spark.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "PRUNED_MIN_AVG_CANDIDATES", 0)
+    eng = engine_mod.QueryEngine(spark, built_index,
+                                 EngineConfig(segment_docs=256))
+    auto = eng.search(QUERIES, local=False).collect()
+    ref = eng.search(QUERIES, local=False, pruned=False).collect()
+    assert auto and _key(auto) == _key(ref)
+
+
 def test_norms_fallback_distributed_join_path(spark, built_index, engine):
     # VERDICT r2 #10: past NORMS_IN_RAM_MAX_DOCS the engine must answer
     # through the doc_stats join path, rank-identical.

@@ -77,3 +77,17 @@ def test_crawl_priority_uses_real_in_degree(linkpages):
     assert pri["b.example.nz"]["in_degree"] == 1
     # bucket: in_degree 1 → priority 9 (web_crawler.py:213-341 chain)
     assert pri["b.example.nz"]["in_degree_pri"] == 9
+
+
+def test_thread_stats_partition_the_crawl(spark, documents):
+    # A9 per-thread totals (web_crawler.py:846-853): 10 named threads,
+    # counts partition the page set, ok counts respect the status split
+    from cs6913_web_search_engines_spark.sources import webpages
+
+    pages = webpages.synthesize(documents)
+    rows = {r["thread"]: r for r in weblog.thread_stats(pages).collect()}
+    assert set(rows) == {f"Thread-{i}" for i in range(1, 11)}
+    assert sum(r["n_urls"] for r in rows.values()) == documents.count()
+    total_ok = pages.filter(F.col("status") == 200).count()
+    assert sum(r["n_ok"] for r in rows.values()) == total_ok
+    assert all(r["n_ok"] <= r["n_urls"] for r in rows.values())
