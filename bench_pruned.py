@@ -1,0 +1,148 @@
+"""Block-max pruning crossover: decoded volume + wall-clock vs corpus size.
+
+The per-round bench records the pruned tier at the 100 k-doc gate
+workload, where ANY multi-job plan loses to the segmented tier's two
+stages — fixed stage-scheduling cost dominates.  The tier's value is
+the scale trend: the exhaustive plan's decoded volume grows linearly
+with the corpus while the pruned plan's stays pinned to the segments
+that can still beat θ.  This bench measures both at two corpus sizes
+(REPLICATE and 4×REPLICATE of the sf docs), same skew shape as
+bench.py's skew phase (a high-tf term concentrated in segment 0 — the
+Zipf head the uniform synthetic corpus lacks), low vocabulary
+expansion (VEXP=2) so common terms carry big, positive-idf posting
+lists — the regime block-max pruning exists for.
+
+Output: one JSON line per size with pruned/exhaustive times, decoded
+block counts, and the prune ratio.  Appended to SCALING.json-style
+history in PRUNED_BENCH.json.
+
+Usage: python bench_pruned.py     # ~5 min on local[32]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.engine import QueryEngine
+from cs6913_web_search_engines_spark.operators import index_build as ib, pruning
+from cs6913_web_search_engines_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("PRUNED_BENCH_REPLICATE", "100"))
+VEXP = int(os.environ.get("PRUNED_BENCH_VEXP", "2"))
+
+QUERIES = {
+    f"p{i}": f"hotterm {w}q{i % VEXP}"
+    for i, w in enumerate(
+        ["data", "fast", "the", "query", "merge", "sort", "spark", "filter"])
+}
+
+
+def corpus(spark, replicate: int) -> str:
+    path = f"/dev/shm/pruned_corpus_r{replicate}_v{VEXP}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rep = spark.range(replicate).withColumnRenamed("id", "copy")
+        hot = " ".join(["hotterm"] * 100)
+        (
+            docs0.crossJoin(rep)
+            .withColumn("doc_id", F.col("doc_id") * replicate + F.col("copy"))
+            .withColumn(
+                "text",
+                F.expr(
+                    "concat_ws(' ', transform(split(text, ' '), "
+                    f"w -> concat(w, 'q', CAST(copy % {VEXP} AS STRING))))"
+                ),
+            )
+            .withColumn(
+                "text",
+                F.when(F.col("doc_id") < 2048,
+                       F.concat(F.col("text"), F.lit(" " + hot)))
+                .otherwise(F.col("text")),
+            )
+            .drop("copy")
+            .repartition(64)
+            .write.mode("overwrite").parquet(path)
+        )
+    return path
+
+
+def level(spark, replicate: int, cfg: EngineConfig) -> dict:
+    docs = spark.read.parquet(corpus(spark, replicate))
+    n_docs = docs.count()
+    out = f"/dev/shm/pruned_idx_{replicate}"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = ib.build_full(spark, docs, out, cfg,
+                          checkpoint_runs=False, fused=True)
+    eng = QueryEngine(spark, out, cfg)
+    common = dict(
+        broadcast_doc_stats=eng.broadcast_doc_stats, blocks=eng.blocks,
+        len_lookup=eng.len_lookup,
+    )
+    counters: dict = {}
+    pruning.search_pruned(          # warm + block accounting
+        spark, eng.index_path, eng.lexicon, eng.doc_stats, eng.stats,
+        QUERIES, cfg, counters=counters, **common).count()
+    t0 = time.time()
+    n_pruned = pruning.search_pruned(
+        spark, eng.index_path, eng.lexicon, eng.doc_stats, eng.stats,
+        QUERIES, cfg, **common).count()
+    t_pruned = time.time() - t0
+    eng.search(QUERIES, local=False).count()      # warm
+    t0 = time.time()
+    n_dist = eng.search(QUERIES, local=False).count()
+    t_dist = time.time() - t0
+    assert n_pruned == n_dist
+    return {
+        "replicate": replicate,
+        "n_docs": n_docs,
+        "n_postings": stats["n_postings"],
+        "pruned_sec": round(t_pruned, 3),
+        "exhaustive_sec": round(t_dist, 3),
+        "blocks_decoded": counters["survivor_blocks"],
+        "blocks_exhaustive": counters["exhaustive_blocks"],
+        "prune_ratio": round(
+            1.0 - counters["survivor_blocks"]
+            / max(counters["exhaustive_blocks"], 1), 4),
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_pruned", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = EngineConfig()
+    # warm python workers
+    spark.range(0, CPUS * 4, 1, CPUS * 4).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long").count()
+    levels = [level(spark, REPLICATE, cfg), level(spark, REPLICATE * 4, cfg)]
+    row = {
+        "metric": "block-max pruning crossover (decoded volume vs corpus size)",
+        "vexp": VEXP,
+        "queries": len(QUERIES),
+        "levels": levels,
+        "decoded_growth": round(
+            levels[1]["blocks_decoded"] / max(levels[0]["blocks_decoded"], 1), 3),
+        "exhaustive_growth": round(
+            levels[1]["blocks_exhaustive"]
+            / max(levels[0]["blocks_exhaustive"], 1), 3),
+    }
+    print(json.dumps(row))
+    hist = []
+    if os.path.exists("PRUNED_BENCH.json"):
+        with open("PRUNED_BENCH.json") as f:
+            hist = json.load(f)
+    hist.append(row)
+    with open("PRUNED_BENCH.json", "w") as f:
+        json.dump(hist, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,7 +135,16 @@ def search_pruned(
     min_len = int(stats.get("min_len", 1))
     max_len = int(stats.get("max_len", 1 << 30))
     src = blocks if blocks is not None else spark.read.parquet(index_path)
-    meta, qt, _ = _query_meta(spark, index_path, lexicon, queries, cfg, src)
+    meta, qt, all_terms = _query_meta(spark, index_path, lexicon, queries,
+                                      cfg, src)
+    # The decode scans must carry the term predicate too: the survivor
+    # join alone does NOT push anything into the parquet scan, so an
+    # unfiltered src would read EVERY shard's payload bytes to decode a
+    # handful of blocks — measured as pruned wall-clock growing with
+    # corpus size while the decoded-block count stayed constant.  With
+    # the filter, shard partition pruning + term row-group pruning keep
+    # the payload read proportional to the query postings.
+    src = src.filter(block_codec.term_filter(spark, all_terms, cfg))
     meta = meta.withColumn(
         "ub",
         block_upper_bound(cfg, total_docs, float(stats["avg_len"]),
