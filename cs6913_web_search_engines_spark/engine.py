@@ -244,6 +244,7 @@ class QueryEngine:
                 broadcast_keys=self.broadcast_doc_stats,
                 blocks=self.blocks,
                 len_lookup=self.len_lookup,
+                dfs=dfs,
             )
         qt = query_exec.queries_to_terms(self.spark, queries, mode, dfs=dfs)
         return query_exec.search_compressed(

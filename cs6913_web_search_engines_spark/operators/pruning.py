@@ -50,6 +50,16 @@ from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
 from cs6913_web_search_engines_spark.functions import tokenizer
 from cs6913_web_search_engines_spark.operators import block_codec, query_exec
 
+# Below this many (query, term, block) metadata rows the PLANNING side
+# (bounds, seeds, θ, survivor keys) runs driver-side in pandas — the
+# reference's own model, which walks skip metadata in RAM
+# (Lexicon.cpp:196-214) — leaving Spark exactly two decode jobs.  The
+# estimate is Σ_t ceil(df_t / postings_per_chunk), a hard upper bound
+# known from the driver df probe before any job runs.  1 M rows ≈
+# tens of MB of pandas; past that the fully-distributed planner below
+# takes over (identical results — pinned by tests/test_pruning.py).
+PLAN_LOCAL_MAX_META_ROWS = 1_000_000
+
 
 def block_upper_bound(cfg: EngineConfig, total_docs: int, avg_len: float,
                       min_len: int, max_len: int):
@@ -79,6 +89,7 @@ def _query_meta(
     queries: dict[str, str],
     cfg: EngineConfig,
     blocks: DataFrame | None = None,
+    dfs: dict[str, int] | None = None,
 ):
     """Block metadata rows for all query terms, with df attached.
 
@@ -99,8 +110,14 @@ def _query_meta(
         src.select(*meta_cols)
         .filter(block_codec.term_filter(spark, all_terms, cfg))
     )
-    qt = query_exec.queries_to_terms(spark, queries, mode)
-    qt = qt.join(lexicon.select("term", "df"), "term", "left").fillna(0, subset=["df"])
+    if dfs is not None:
+        # caller already probed term dfs driver-side (the engine's
+        # lexicon memo) — build qt with df attached, no lexicon join
+        qt = query_exec.queries_to_terms(spark, queries, mode, dfs=dfs)
+    else:
+        qt = query_exec.queries_to_terms(spark, queries, mode)
+        qt = qt.join(lexicon.select("term", "df"), "term", "left").fillna(
+            0, subset=["df"])
     return meta.join(F.broadcast(qt), "term"), qt, all_terms
 
 
@@ -119,12 +136,26 @@ def search_pruned(
     blocks: DataFrame | None = None,
     len_lookup=None,
     counters: dict | None = None,
+    dfs: dict[str, int] | None = None,
+    driver_plan: bool | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index, decoding only
     blocks whose bound can still beat the seeded threshold.
 
     Returns (query_id, doc_id, score, rank) — rank-identical to
     :func:`query_exec.search_compressed`.
+
+    Two planners, same algorithm and identical results:
+
+    * **driver planner** (small metadata, the default under
+      ``PLAN_LOCAL_MAX_META_ROWS``): bounds/seeds/θ/survivors in
+      pandas on the collected metadata — the reference's in-RAM
+      skip-metadata walk (Lexicon.cpp:196-214) — so Spark runs only
+      the seed-decode and survivor-decode jobs;
+    * **distributed planner** (``driver_plan=False`` or big
+      metadata): everything stays in DataFrames with the metadata
+      tables materialized once via localCheckpoint — the 10^12-doc
+      regime where even per-query metadata outgrows the driver.
 
     ``broadcast_keys``: the survivor block-key set grows with corpus
     segments; set False beyond broadcast size (same regime as
@@ -136,7 +167,12 @@ def search_pruned(
     max_len = int(stats.get("max_len", 1 << 30))
     src = blocks if blocks is not None else spark.read.parquet(index_path)
     meta, qt, all_terms = _query_meta(spark, index_path, lexicon, queries,
-                                      cfg, src)
+                                      cfg, src, dfs=dfs)
+    if dfs is None:
+        # probe term dfs once driver-side (qt carries the lexicon df):
+        # kernel idf inputs + the partition-sizing estimate below
+        dfs = {r["term"]: int(r["df"]) for r in
+               qt.select("term", "df").distinct().collect()}
     # The decode scans must carry the term predicate too: the survivor
     # join alone does NOT push anything into the parquet scan, so an
     # unfiltered src would read EVERY shard's payload bytes to decode a
@@ -150,12 +186,102 @@ def search_pruned(
         block_upper_bound(cfg, total_docs, float(stats["avg_len"]),
                           min_len, max_len),
     )
+    # The metadata tables below (meta, term_seg, seg_ub) are each
+    # referenced 2-4 times across the θ-seed job and the final decode
+    # job, and Python-UDF subplans never canonicalize equal, so
+    # Catalyst recomputes the scan→join→groupBy chain at every
+    # reference — measured as ~40 tiny shuffle stages per search whose
+    # scheduling dominated pruned wall-clock (≈10 s for a batch whose
+    # decode work is milliseconds).  Materialize each once:
+    # localCheckpoint is distributed (executor-memory), and the tables
+    # are O(query terms × blocks) / O(query terms × segments) metadata,
+    # never payload — safe at any corpus size.
+    #
+    # Partition counts are sized from the driver-side df probe when
+    # available: the exhaustive block-row count is
+    # Σ_t ceil(df_t / postings_per_chunk), a hard upper bound on every
+    # table and decode set below.  Tiny queries then run 1-8-task
+    # stages instead of scheduling 25-64 mostly-empty tasks per stage
+    # (explicit repartition counts are NOT AQE-coalesced) — measured
+    # as the dominant pruned-tier constant at small corpora — while
+    # head-term queries at large corpora still fan out.
+    est_rows = sum(max(1, d // cfg.postings_per_chunk)
+                   for d in dfs.values()) if dfs else 1 << 20
+    n_meta = max(1, min(32, est_rows // 250_000 + 1))
+    kernel_parts = max(8, min(spark.sparkContext.defaultParallelism * 2,
+                              est_rows // 2_000 + 1))
+    def exact_candidates(block_keys: DataFrame) -> DataFrame | None:
+        """Fused decode+score+per-segment-top-k over exactly the given
+        (query_id, term, seg, block_id) rows → per-segment candidate
+        rows (query_id, doc_id, score), pre-global-ranking.  Blocks
+        are tagged with query_id *before* decode so a block kept for
+        query A never leaks partial scores into query B (which may
+        have pruned it).  None when norms aren't in RAM (the kernel
+        needs the resident length array)."""
+        if len_lookup is None:
+            return None
+        keys = block_keys.select(
+            "query_id", "term", "seg", "block_id"
+        ).dropDuplicates()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
+        kept = src.join(keys, ["term", "seg", "block_id"])
+        return query_exec.segment_topk_candidates(
+            spark, kept, lexicon, stats, queries, cfg,
+            len_lookup=len_lookup, conjunctive=conjunctive, dfs=dfs,
+            num_partitions=kernel_parts,
+        )
+
+    def exact_scores(block_keys: DataFrame) -> DataFrame:
+        """Ranked exact top-k over the given block keys.
+
+        With norms in RAM this is ONE fused Arrow crossing
+        (``exact_candidates``) plus a tiny global ranking window —
+        instead of decode → per-posting score rows → groupBy → window
+        (two extra shuffles of per-posting width, measured as the
+        dominant pruned-tier constant).  Beyond norms-in-RAM scale it
+        falls back to the distributed doc_stats-join scorer."""
+        cand = exact_candidates(block_keys)
+        if cand is not None:
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= cfg.top_k)
+                .select("query_id", "doc_id", "score", "rank")
+            )
+        keys = block_keys.select(
+            "query_id", "term", "seg", "block_id"
+        ).dropDuplicates()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
+        kept = src.join(keys, ["term", "seg", "block_id"])
+        postings = block_codec.decode_postings(
+            kept, cfg, extra_cols=("query_id",), len_lookup=len_lookup
+        )
+        return query_exec.score_query_set(
+            postings, qt, lexicon, doc_stats, stats, cfg,
+            conjunctive=conjunctive,
+            broadcast_doc_stats=broadcast_doc_stats,
+        )
+
+    if driver_plan is None:
+        driver_plan = (len_lookup is not None
+                       and est_rows <= PLAN_LOCAL_MAX_META_ROWS)
+    if driver_plan:
+        return _search_pruned_driver(
+            spark, meta, exact_scores, exact_candidates, stats, cfg,
+            conjunctive, seed_segs, counters)
+
+    meta = meta.coalesce(n_meta).localCheckpoint(eager=True)
 
     # Per (query, term, seg): best block bound of that term there.
     term_seg = meta.groupBy("query_id", "term", "seg").agg(
         F.max("ub").alias("term_ub"),
         F.first("n_terms").alias("n_terms"),
     ).withColumn("term_ub_pos", F.greatest(F.col("term_ub"), F.lit(0.0)))
+    term_seg = term_seg.localCheckpoint(eager=True)
     # Per (query, seg): bounds + #query terms present.
     #
     # ``sum_pos = Σ_t max(0, ub_t)`` is the bound for a doc that may
@@ -184,6 +310,7 @@ def search_pruned(
             else F.col("sum_pos") + F.col("best_neg"),
         )
     )
+    seg_ub = seg_ub.localCheckpoint(eager=True)
     if conjunctive:
         # A conjunctive match needs every term; all of a doc's postings
         # share its segment, so segments missing any query term can
@@ -200,45 +327,26 @@ def search_pruned(
         .select("query_id", "seg")
     )
 
-    def exact_scores(block_keys: DataFrame) -> DataFrame:
-        """Decode exactly the given (query_id, term, seg, block_id)
-        rows and score.  Blocks are tagged with query_id *before*
-        decode so a block kept for query A never leaks partial scores
-        into query B (which may have pruned it)."""
-        keys = block_keys.select(
-            "query_id", "term", "seg", "block_id"
-        ).dropDuplicates()
-        if broadcast_keys:
-            keys = F.broadcast(keys)
-        kept = src.join(keys, ["term", "seg", "block_id"])
-        postings = block_codec.decode_postings(
-            kept, cfg, extra_cols=("query_id",), len_lookup=len_lookup
-        )
-        return query_exec.score_query_set(
-            postings, qt, lexicon, doc_stats, stats, cfg,
-            conjunctive=conjunctive,
-            broadcast_doc_stats=broadcast_doc_stats,
-        )
-
     # Phase 1: exact top-k inside the seed segments → threshold θ.
+    # seed_topk is ≤ k rows per query and is used twice — to derive θ
+    # AND as the seed segments' contribution to the final result (seed
+    # segments are excluded from phase 2 below, so their blocks decode
+    # exactly once instead of twice).  Materialize it once; θ derives
+    # from the checkpoint for free.
     seed_meta = meta.join(F.broadcast(seeds), ["query_id", "seg"], "left_semi")
-    seed_topk = exact_scores(seed_meta)
+    seed_topk = exact_scores(seed_meta).localCheckpoint(eager=True)
     theta = seed_topk.filter(F.col("rank") == cfg.top_k).select(
         "query_id", F.col("score").alias("theta")
     )
-    # θ is one scalar per query but its plan carries the whole seed
-    # decode+score subtree; downstream it is referenced twice (segment
-    # keep filter + block filter), and Python-UDF subplans never
-    # canonicalize equal, so Catalyst cannot ReusedExchange them — left
-    # lazy, the seed phase would execute 3× inside the final job.
-    # Materialize the (tiny) θ table once instead.
-    theta = theta.localCheckpoint(eager=True)
 
-    # Phase 2: segments whose bound can still matter.  Queries with
-    # fewer than k seed results get θ = -inf (left-join null keeps all).
+    # Phase 2: segments whose bound can still matter, MINUS the seed
+    # segments (already scored exactly; their survivors ride in via the
+    # final union).  Queries with fewer than k seed results get
+    # θ = -inf (left-join null keeps all).
     kept_segs = (
         seg_ub.join(theta, "query_id", "left")
         .filter(F.col("theta").isNull() | (F.col("seg_ub") >= F.col("theta")))
+        .join(seeds, ["query_id", "seg"], "left_anti")
         .select("query_id", "seg", "seg_ub")
     )
     survivors = (
@@ -264,10 +372,147 @@ def search_pruned(
     )
     if counters is not None:
         # bench-only accounting (extra actions): how many (query, term,
-        # block) rows the exhaustive plan would decode vs what survived
+        # block) rows the exhaustive plan would decode vs what was
+        # actually decoded (seed phase + phase-2 survivors)
         counters["exhaustive_blocks"] = meta.count()
-        counters["survivor_blocks"] = survivors.count()
-    return exact_scores(survivors)
+        counters["seed_blocks"] = seed_meta.count()
+        counters["survivor_blocks"] = (survivors.count()
+                                       + counters["seed_blocks"])
+
+    # Per-subset top-k then union then re-rank is exact: a doc ranked
+    # past k *within* the seed subset already has k better
+    # (score desc, doc_id asc) docs in that subset alone, so it can
+    # never enter the overall top-k; same for phase 2.  No doc appears
+    # in both subsets (its postings live in exactly one segment, and
+    # seed segments are anti-joined out of phase 2).
+    phase2 = exact_scores(survivors)
+    combined = seed_topk.select("query_id", "doc_id", "score").unionByName(
+        phase2.select("query_id", "doc_id", "score")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        combined.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= cfg.top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _search_pruned_driver(
+    spark: SparkSession,
+    meta: DataFrame,
+    exact_scores,
+    exact_candidates,
+    stats: dict,
+    cfg: EngineConfig,
+    conjunctive: bool,
+    seed_segs: int,
+    counters: dict | None,
+) -> DataFrame:
+    """Driver-side planning half of :func:`search_pruned` — identical
+    bound/seed/θ/survivor math to the distributed planner, in pandas
+    over the collected (small) metadata.  Decode + scoring stay in
+    Spark (``exact_scores``), so the job count drops from ~6 actions
+    of metadata bookkeeping to exactly: one metadata collect, one
+    seed-decode job, one survivor-decode job."""
+    total_docs = int(stats["total_docs"])
+    keys_schema = "query_id string, term string, seg long, block_id int"
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id long, score double, rank int")
+
+    mpdf = meta.select("query_id", "term", "seg", "block_id",
+                       "n_terms", "df", "ub").toPandas()
+    if counters is not None:
+        counters["exhaustive_blocks"] = len(mpdf)
+    if len(mpdf) == 0:
+        if counters is not None:
+            counters["seed_blocks"] = counters["survivor_blocks"] = 0
+        return empty
+
+    # term_seg: best block bound of each term per (query, segment)
+    ts = (mpdf.groupby(["query_id", "term", "seg"], as_index=False)
+          .agg(term_ub=("ub", "max"), n_terms=("n_terms", "first")))
+    ts["term_ub_pos"] = ts["term_ub"].clip(lower=0.0)
+    ts["term_ub_neg"] = ts["term_ub"].clip(upper=0.0)
+    # seg_ub: see the distributed planner for the bound derivation
+    su = (ts.groupby(["query_id", "seg"], as_index=False)
+          .agg(sum_pos=("term_ub_pos", "sum"), sum_all=("term_ub", "sum"),
+               best_neg=("term_ub_neg", "max"),
+               n_terms_present=("term", "count"),
+               n_terms=("n_terms", "first")))
+    su["seg_ub"] = (su["sum_all"] if conjunctive
+                    else su["sum_pos"] + su["best_neg"])
+    if conjunctive:
+        su = su[su["n_terms_present"] == su["n_terms"]]
+        if len(su) == 0:
+            if counters is not None:
+                counters["seed_blocks"] = counters["survivor_blocks"] = 0
+            return empty
+
+    seeds = (su.sort_values(["query_id", "seg_ub", "seg"],
+                            ascending=[True, False, True])
+             .groupby("query_id").head(seed_segs)[["query_id", "seg"]])
+    seed_keys = mpdf.merge(seeds, on=["query_id", "seg"])[
+        ["query_id", "term", "seg", "block_id"]].drop_duplicates()
+
+    # Phase 1: exact top-k of the seed segments → θ; reused below so
+    # seed blocks decode once.  With the fused kernel available, rank
+    # the (collect-sized) per-segment candidates here in pandas —
+    # skipping the Spark ranking window saves a shuffle stage in the
+    # seed job.
+    seed_df = spark.createDataFrame(seed_keys, keys_schema)
+    cand = exact_candidates(seed_df)
+    if cand is not None:
+        cpdf = cand.toPandas()
+        cpdf = cpdf.sort_values(["query_id", "score", "doc_id"],
+                                ascending=[True, False, True])
+        cpdf["rank"] = cpdf.groupby("query_id").cumcount() + 1
+        seed_pdf = cpdf[cpdf["rank"] <= cfg.top_k]
+    else:
+        seed_pdf = exact_scores(seed_df).toPandas()
+    theta = (seed_pdf[seed_pdf["rank"] == cfg.top_k]
+             [["query_id", "score"]].rename(columns={"score": "theta"}))
+
+    # Phase 2: surviving segments (minus seeds), then surviving blocks.
+    kept = su.merge(theta, on="query_id", how="left")
+    kept = kept[kept["theta"].isna() | (kept["seg_ub"] >= kept["theta"])]
+    kept = kept.merge(seeds, on=["query_id", "seg"], how="left",
+                      indicator=True)
+    kept = kept[kept["_merge"] == "left_only"]
+    sv = (mpdf.merge(kept[["query_id", "seg", "sum_pos"]],
+                     on=["query_id", "seg"])
+          .merge(ts[["query_id", "term", "seg", "term_ub_pos"]],
+                 on=["query_id", "term", "seg"])
+          .merge(theta, on="query_id", how="left"))
+    mask = (sv["theta"].isna()
+            | (sv["df"] * 2 >= total_docs)      # never prune negative idf
+            | (sv["ub"] + sv["sum_pos"] - sv["term_ub_pos"] >= sv["theta"]))
+    surv_keys = sv[mask][["query_id", "term", "seg",
+                          "block_id"]].drop_duplicates()
+    if counters is not None:
+        counters["seed_blocks"] = len(seed_keys)
+        counters["survivor_blocks"] = len(surv_keys) + len(seed_keys)
+
+    seed_scores = spark.createDataFrame(
+        seed_pdf[["query_id", "doc_id", "score"]],
+        "query_id string, doc_id long, score double")
+    if len(surv_keys) == 0:
+        combined = seed_scores
+    else:
+        phase2 = exact_scores(
+            spark.createDataFrame(surv_keys, keys_schema))
+        combined = seed_scores.unionByName(
+            phase2.select("query_id", "doc_id", "score"))
+    # per-subset top-k ∪ re-rank is exact — see search_pruned
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        combined.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= cfg.top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
 
 
 def count_blocks(spark: SparkSession, index_path: str,

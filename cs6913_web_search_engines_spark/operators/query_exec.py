@@ -185,9 +185,9 @@ def search_compressed(
                            conjunctive, broadcast_doc_stats=broadcast_doc_stats)
 
 
-def search_segmented(
+def segment_topk_candidates(
     spark: SparkSession,
-    blocks: DataFrame,
+    cand: DataFrame,
     lexicon: DataFrame,
     stats: dict,
     queries: dict[str, str],
@@ -197,28 +197,21 @@ def search_segmented(
     num_partitions: int | None = None,
     dfs: dict[str, int] | None = None,
 ) -> DataFrame:
-    """Distributed segment-at-a-time exact top-k over the compressed
-    index — the batch fast path.
+    """Fused decode + BM25 + per-(segment, query) top-k Arrow kernel
+    over candidate block rows → (query_id, doc_id, score) candidates.
 
-    Every posting of a doc lives in the doc's segment, so a kernel
-    holding ALL candidate blocks of one segment computes COMPLETE
-    (query, doc) scores and a sound local top-k (the global top-k per
-    query is a subset of each segment's top-k under the same
-    (score DESC, doc_id ASC) order — the TakeOrdered argument).  Plan:
+    ``cand`` columns: (term, seg, n_postings, doc_gaps, tfs), plus
+    optionally ``query_id``.  Untagged rows contribute to EVERY query
+    containing the term (the segmented batch tier, which term-filters
+    here); tagged rows contribute only to their own query — the pruned
+    tier's per-query block survivorship, where one block may survive
+    for query A and be pruned for query B.
 
-        blocks filter(terms) → repartition(seg) [shuffles only the
-        COMPRESSED payload, ~2 bytes/posting] → sortWithinPartitions(seg)
-        → Arrow kernel: decode + BM25 + per-(seg, query) top-k, one
-        segment resident at a time → tiny global ranking window over
-        n_segs × n_queries × k candidate rows.
-
-    vs the exhaustive path this removes the 10^2-times-larger Arrow
-    transfer and shuffle of per-posting score rows (measured 16× on a
-    256-query batch over 186 M postings).  Requires the norms-in-RAM
-    broadcast (``len_lookup``); the reference analog is DAAT scoring
-    against the RAM page table (QueryProcessor.cpp:459-509),
-    distributed by segment.  Rank-identical to
-    :func:`search_compressed` (tests/test_query.py).
+    Emits each segment's exact top-k per query; the global top-k per
+    query is a subset under the same (score DESC, doc_id ASC) order
+    (the TakeOrdered argument — see :func:`search_segmented`).
+    Callers add the tiny global ranking window over
+    n_segs × n_queries × k candidate rows.
     """
     import numpy as np
     import pandas as pd
@@ -226,8 +219,9 @@ def search_segmented(
     from cs6913_web_search_engines_spark.functions import varbyte
 
     if len_lookup is None:
-        raise ValueError("search_segmented requires the norms broadcast; "
+        raise ValueError("segment kernel requires the norms broadcast; "
                          "use search_compressed beyond norms-in-RAM scale")
+    tagged = "query_id" in cand.columns
     mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
     qterms = {qid: tokenizer.split_query(q, mode) for qid, q in queries.items()}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -239,9 +233,10 @@ def search_segmented(
     idf = {t: float(np.log((n_docs - dfs.get(t, 0) + 0.5)
                            / (dfs.get(t, 0) + 0.5))) for t in all_terms}
     term2q: dict[str, list] = {}
-    for qid, ts in qterms.items():
-        for t in ts:
-            term2q.setdefault(t, []).append(qid)
+    if not tagged:
+        for qid, ts in qterms.items():
+            for t in ts:
+                term2q.setdefault(t, []).append(qid)
     n_terms_by_q = {qid: len(ts) for qid, ts in qterms.items()}
     avg = float(stats["avg_len"])
     k1, b = cfg.k1, cfg.b
@@ -277,8 +272,9 @@ def search_segmented(
             acc.clear()
 
         for pdf in batches:
-            for term, seg, n, gaps, tfs in zip(
-                pdf["term"], pdf["seg"], pdf["n_postings"],
+            qids = pdf["query_id"] if tagged else pdf["term"]
+            for qid_row, term, seg, n, gaps, tfs in zip(
+                qids, pdf["term"], pdf["seg"], pdf["n_postings"],
                 pdf["doc_gaps"], pdf["tfs"],
             ):
                 seg = int(seg)
@@ -293,8 +289,11 @@ def search_segmented(
                 dl[m] = lens[ids[m]]
                 K = k1 * ((1.0 - b) + b * dl / avg)
                 contrib = idfs[term] * (k1 + 1.0) * tf / (K + tf)
-                for qid in t2q.get(term, ()):
-                    acc.setdefault(qid, []).append((ids, contrib))
+                if tagged:
+                    acc.setdefault(qid_row, []).append((ids, contrib))
+                else:
+                    for qid in t2q.get(term, ()):
+                        acc.setdefault(qid, []).append((ids, contrib))
         flush()
         yield pd.DataFrame({
             "query_id": pd.Series(out_q, dtype=object),
@@ -303,9 +302,12 @@ def search_segmented(
         })
 
     nparts = num_partitions or max(sc.defaultParallelism * 2, 8)
-    cand = (
-        blocks.filter(block_codec.term_filter(spark, all_terms, cfg))
-        .select("term", "seg", "n_postings", "doc_gaps", "tfs")
+    cols = (["query_id"] if tagged else []) + [
+        "term", "seg", "n_postings", "doc_gaps", "tfs"]
+    if not tagged:
+        cand = cand.filter(block_codec.term_filter(spark, all_terms, cfg))
+    return (
+        cand.select(*cols)
         # Range partitioning on the low-cardinality seg key: hash
         # partitioning leaves Poisson holes (empty partitions beside
         # double-loaded ones) when n_segs ~ n_partitions — the same
@@ -314,12 +316,55 @@ def search_segmented(
         .sortWithinPartitions("seg")
         .mapInPandas(kernel, "query_id string, doc_id long, score double")
     )
+
+
+def search_segmented(
+    spark: SparkSession,
+    blocks: DataFrame,
+    lexicon: DataFrame,
+    stats: dict,
+    queries: dict[str, str],
+    cfg: EngineConfig = DEFAULT,
+    len_lookup=None,
+    conjunctive: bool = False,
+    num_partitions: int | None = None,
+    dfs: dict[str, int] | None = None,
+) -> DataFrame:
+    """Distributed segment-at-a-time exact top-k over the compressed
+    index — the batch fast path.
+
+    Every posting of a doc lives in the doc's segment, so a kernel
+    holding ALL candidate blocks of one segment computes COMPLETE
+    (query, doc) scores and a sound local top-k (the global top-k per
+    query is a subset of each segment's top-k under the same
+    (score DESC, doc_id ASC) order — the TakeOrdered argument).  Plan:
+
+        blocks filter(terms) → repartition(seg) [shuffles only the
+        COMPRESSED payload, ~2 bytes/posting] → sortWithinPartitions(seg)
+        → Arrow kernel: decode + BM25 + per-(seg, query) top-k, one
+        segment resident at a time → tiny global ranking window over
+        n_segs × n_queries × k candidate rows.
+
+    vs the exhaustive path this removes the 10^2-times-larger Arrow
+    transfer and shuffle of per-posting score rows (measured 16× on a
+    256-query batch over 186 M postings).  Requires the norms-in-RAM
+    broadcast (``len_lookup``); the reference analog is DAAT scoring
+    against the RAM page table (QueryProcessor.cpp:459-509),
+    distributed by segment.  Rank-identical to
+    :func:`search_compressed` (tests/test_query.py).
+    """
+    cand = segment_topk_candidates(
+        spark, blocks.drop("query_id") if "query_id" in blocks.columns
+        else blocks,
+        lexicon, stats, queries, cfg, len_lookup=len_lookup,
+        conjunctive=conjunctive, num_partitions=num_partitions, dfs=dfs,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        .filter(F.col("rank") <= cfg.top_k)
         .select("query_id", "doc_id", "score", "rank")
     )
 

@@ -68,6 +68,48 @@ def test_pruned_with_tiny_k(spark, compressed):
     assert _canon(got) == _canon(want)
 
 
+def _norms_broadcast(spark, doc_stats):
+    """Dense doc_id → distinct_terms array, as the engine's
+    norms-in-RAM preload builds it (engine._build_len_lookup)."""
+    import numpy as np
+
+    pdf = doc_stats.select("doc_id", "distinct_terms").toPandas()
+    arr = np.zeros(int(pdf["doc_id"].max()) + 1, dtype=np.int32)
+    arr[pdf["doc_id"].to_numpy(np.int64)] = (
+        pdf["distinct_terms"].to_numpy(np.int32))
+    return spark.sparkContext.broadcast(arr)
+
+
+@pytest.mark.parametrize("conjunctive", [False, True])
+@pytest.mark.parametrize("driver_plan", [True, False])
+def test_pruned_planners_rank_identity(spark, compressed, driver_plan,
+                                       conjunctive):
+    """The driver planner (pandas bounds/θ/survivors + fused kernel)
+    and the distributed planner must both be rank-identical to the
+    exhaustive path AND agree exactly on pruning accounting — the two
+    planners implement the same bound math."""
+    path, cfg, postings, doc_stats, stats, lexicon = compressed
+    norms = _norms_broadcast(spark, doc_stats)
+    counters: dict = {}
+    got = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, QUERIES, cfg,
+        conjunctive=conjunctive, seed_segs=2, len_lookup=norms,
+        driver_plan=driver_plan, counters=counters,
+    ).collect()
+    want = qe.search_compressed(
+        spark, path, lexicon, doc_stats, stats, QUERIES, cfg,
+        conjunctive=conjunctive,
+    ).collect()
+    assert _canon(got) == _canon(want)
+    other: dict = {}
+    pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, QUERIES, cfg,
+        conjunctive=conjunctive, seed_segs=2, len_lookup=norms,
+        driver_plan=not driver_plan, counters=other,
+    )
+    assert counters == other
+
+
 def test_pruning_actually_prunes_on_selective_terms(spark, tmp_path):
     """On a corpus with a rare, concentrated term the pruned tier must
     (a) decode strictly fewer blocks than the exhaustive plan and
