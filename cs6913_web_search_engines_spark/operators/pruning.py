@@ -210,6 +210,7 @@ def search_pruned(
     n_meta = max(1, min(32, est_rows // 250_000 + 1))
     kernel_parts = max(8, min(spark.sparkContext.defaultParallelism * 2,
                               est_rows // 2_000 + 1))
+
     def exact_candidates(block_keys: DataFrame) -> DataFrame | None:
         """Fused decode+score+per-segment-top-k over exactly the given
         (query_id, term, seg, block_id) rows → per-segment candidate
