@@ -232,6 +232,29 @@ def _q_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
 
 
+def _q_bm25_pruned_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned tier's round-3 default shape at the driver gate:
+    driver-side planner (pandas bounds/seeds/θ/survivors over the
+    collected metadata) + the per-query-tagged fused
+    decode+score+top-k kernel with norms in RAM — against the same
+    plain exhaustive BM25 SQL oracle, so green == rank-identity of
+    the whole fast path (planner + kernel + seed-score reuse)."""
+    from cs6913_web_search_engines_spark.engine import QueryEngine
+    from cs6913_web_search_engines_spark.operators import pruning
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pruned_fused_idx_")
+    cfg = EngineConfig(segment_docs=256)
+    ib.build_full(spark, docs, out, cfg, checkpoint_runs=False, fused=True)
+    eng = QueryEngine(spark, out, cfg)
+    res = pruning.search_pruned(
+        spark, eng.index_path, eng.lexicon, eng.doc_stats, eng.stats,
+        {"q0": FLAGSHIP_QUERY}, cfg, conjunctive=False, seed_segs=1,
+        blocks=eng.blocks, len_lookup=eng.len_lookup, driver_plan=True,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
 def _q_doc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/F4/J5 — content retrieval join with the reference's
     comma-scrub projection (SearchResult.cpp:47)."""
@@ -415,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compressed": _q_bm25_compressed,
         "bm25_hw2": _q_bm25_hw2,
         "bm25_pruned": _q_bm25_pruned,
+        "bm25_pruned_fused": _q_bm25_pruned_fused,
         "doc_content": _q_doc_content,
         "postings_subset": _q_postings_subset,
         "posting_runs": _q_posting_runs,
@@ -491,6 +515,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_hw2": _bm25_oracle_hw2(terms, CFG.hw2().top_k),
         # pruned path vs the PLAIN exhaustive SQL = rank-identity gate
         "bm25_pruned": _bm25_oracle(terms, False, CFG.top_k),
+        # round-3 default shape: driver planner + fused tagged kernel
+        "bm25_pruned_fused": _bm25_oracle(terms, False, CFG.top_k),
         "doc_content": f"""
 WITH ranked AS ({_bm25_oracle(terms, False, CFG.top_k)})
 SELECT r.doc_id, r.rank, replace(d.text, ',', ' ') AS content

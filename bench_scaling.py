@@ -125,7 +125,12 @@ def run_level(cpus: int) -> dict:
     eng = QueryEngine(spark, out, cfg)
     # force the DISTRIBUTED path: the driver-local fast path answers
     # small batches on one core, which is exactly what a scaling
-    # measurement must not measure
+    # measurement must not measure.  Warm pass first — steady-state
+    # methodology, same as bench.py: the first execution of this plan
+    # shape pays one-time codegen/broadcast costs that belong to the
+    # session, not the workload.
+    warm = {k: BATCH_QUERIES[k] for k in list(BATCH_QUERIES)[:16]}
+    eng.search(warm, local=False).count()
     t0 = time.time()
     n_res = eng.search(BATCH_QUERIES, local=False).count()
     t_query = time.time() - t0
