@@ -376,13 +376,14 @@ WHERE ROUND(n_inter / (na.n_sh + nb.n_sh - n_inter)::DOUBLE, 6) >= {threshold}
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(postings: DataFrame) -> DataFrame:
-    """postings(doc_id, term, tf) → (doc_id, bits array<int>[64]).
-
-    bit b = 1 iff Σ_terms tf·(2·hashbit_b(term)−1) > 0, hashbit from
-    the md5 nibble formula (functions/hashing.py).  Computed as one
-    posexplode + two hash-aggregates — all JVM expressions.
-    """
+def _simhash_bitsums(postings: DataFrame) -> DataFrame:
+    """postings(doc_id, term, tf) → (doc_id, b, s): the signed
+    per-bit contribution sums Σ_terms tf·(2·hashbit_b(term)−1),
+    hashbit from the md5 nibble formula (functions/hashing.py).
+    One posexplode + one hash-aggregate, all JVM expressions —
+    the shared front half of the array and packed signature forms
+    (which must stay bit-identical for the parity test to mean
+    anything)."""
     contrib = postings.select(
         "doc_id",
         F.posexplode(
@@ -394,8 +395,17 @@ def simhash_signatures(postings: DataFrame) -> DataFrame:
             )
         ).alias("b", "c"),
     )
+    return contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+
+
+def simhash_signatures(postings: DataFrame) -> DataFrame:
+    """postings(doc_id, term, tf) → (doc_id, bits array<int>[64]).
+
+    bit b = 1 iff the bit's contribution sum is positive
+    (:func:`_simhash_bitsums`).
+    """
     return (
-        contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+        _simhash_bitsums(postings)
         .withColumn("bit", F.when(F.col("s") > 0, 1).otherwise(0))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("b", "bit"))).alias("a"))
@@ -413,19 +423,8 @@ def simhash_signatures_packed(postings: DataFrame) -> DataFrame:
     signature as 8 bytes instead of a 64-element int array cuts the
     candidate shuffle by ~30× and turns the Hamming verify into one
     ``bit_count(xor)`` instruction."""
-    contrib = postings.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, {m}), b -> tf * (2 * {bit} - 1))".format(
-                    m=SIMHASH_BITS - 1,
-                    bit=hashing.bit_expr_spark("term", "b"),
-                )
-            )
-        ).alias("b", "c"),
-    )
     return (
-        contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+        _simhash_bitsums(postings)
         .groupBy("doc_id")
         .agg(
             F.sum(

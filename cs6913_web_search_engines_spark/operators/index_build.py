@@ -39,6 +39,83 @@ from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
 from cs6913_web_search_engines_spark.functions import tokenizer
 
 
+class _RunsFs:
+    """Minimal filesystem shim for :func:`write_runs` checkpoint
+    metadata (manifest read/write, stale-checkpoint wipe): plain
+    ``os``/``open`` for local paths, the Hadoop FileSystem API (via
+    the JVM gateway — the same client Spark's own writers use) for
+    URI paths (``hdfs://``, ``s3a://``, ``file://``), so the runs
+    checkpoint works end-to-end wherever the parquet itself can be
+    written.  The ``file://`` scheme exercises the Hadoop branch in
+    local tests."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.remote = "://" in base
+        if self.remote:
+            jvm = spark._jvm
+            self._jvm = jvm
+            self._Path = jvm.org.apache.hadoop.fs.Path
+            self._fs = self._Path(base).getFileSystem(
+                spark._jsc.hadoopConfiguration())
+
+    def exists(self, path: str) -> bool:
+        if not self.remote:
+            return os.path.exists(path)
+        return self._fs.exists(self._Path(path))
+
+    def read_text(self, path: str) -> str:
+        if not self.remote:
+            with open(path) as f:
+                return f.read()
+        stream = self._fs.open(self._Path(path))
+        try:
+            # py4j copies byte[] by value, so a mutate-the-buffer read
+            # loop can't work from Python; commons-io (on Spark's
+            # classpath) drains the stream JVM-side in one call
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        if not self.remote:
+            with open(path, "w") as f:
+                f.write(text)
+            return
+        stream = self._fs.create(self._Path(path), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+
+    def wipe_children(self, base: str) -> None:
+        if not self.remote:
+            import shutil
+
+            for name in os.listdir(base):
+                full = os.path.join(base, name)
+                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            return
+        for st in self._fs.listStatus(self._Path(base)):
+            self._fs.delete(st.getPath(), True)
+
+    def bucket_bytes(self, base: str) -> dict[int, int]:
+        """{bucket: total parquet bytes} under ``run=<bucket>/`` — the
+        remote complement to the local footer fast path's sizes."""
+        sizes: dict[int, int] = {}
+        for st in self._fs.listStatus(self._Path(base)):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("run=")):
+                continue
+            bucket = int(name.split("=", 1)[1])
+            total = 0
+            for f in self._fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    total += f.getLen()
+            sizes[bucket] = total
+        return sizes
+
+
 def build_postings(documents: DataFrame) -> DataFrame:
     """corpus(doc_id, text) → logical postings (doc_id, term, tf).
 
@@ -208,26 +285,30 @@ def write_runs(
     manifest already marks a bucket complete, it is skipped on re-run
     (kill-between-stages resumability, SURVEY §5).
     """
-    manifest_path = os.path.join(path, "_manifest.json")
+    fs = _RunsFs(postings.sparkSession, path)
+    manifest_path = path.rstrip("/") + "/_manifest.json"
     # The bucket function is part of the checkpoint's identity: resuming
     # runs bucketed under a DIFFERENT hash or partition count would mix
     # assignments (every posting re-appended under its new bucket while
     # the old rows stay) — silent duplication.  Fingerprint it and wipe
     # a stale checkpoint instead of resuming it.
+    #
+    # The bucket hash is md5-derived (run_bucket) and computed per
+    # POSTING row — deliberate: the only per-distinct-term alternative
+    # (distinct → hash → broadcast-join) would re-scan `postings`,
+    # which in build_full is the tokenizer kernel's output, i.e. it
+    # would re-tokenize the corpus to save a short-string md5 whose
+    # cost is a low single-digit % of the stage (shuffle + sort +
+    # parquet write dominate).
     bucket_fn = f"hash60%{cfg.run_partitions}"
     done: set[int] = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            prev = json.load(f)
+    if fs.exists(manifest_path):
+        prev = json.loads(fs.read_text(manifest_path))
         if prev.get("bucket_fn") == bucket_fn:
             done = {b["bucket"] for b in prev.get("buckets", [])
                     if b.get("complete")}
         else:
-            import shutil
-
-            for name in os.listdir(path):
-                full = os.path.join(path, name)
-                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            fs.wipe_children(path)
 
     t0 = time.time()
     tagged = postings.withColumn("run", run_bucket(cfg))
@@ -247,6 +328,11 @@ def write_runs(
     # per-bucket row counts from parquet FOOTERS (driver-side metadata
     # read) — no second scan of the runs table
     counts = _bucket_counts(path, postings.sparkSession)
+    if fs.remote:
+        # rows came from the Spark count fallback (no footer access
+        # over a URI); byte sizes come from a Hadoop FS listing
+        sizes = fs.bucket_bytes(path)
+        counts = {b: (n, sizes.get(b)) for b, (n, _) in counts.items()}
     n_rows = sum(n for n, _ in counts.values())
     manifest = {
         "format": "postings-runs-v1",
@@ -260,8 +346,7 @@ def write_runs(
             for b, (n, sz) in sorted(counts.items())
         ],
     }
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=1)
+    fs.write_text(manifest_path, json.dumps(manifest, indent=1))
     return manifest
 
 

@@ -54,11 +54,35 @@ from cs6913_web_search_engines_spark.operators import block_codec, query_exec
 # (bounds, seeds, θ, survivor keys) runs driver-side in pandas — the
 # reference's own model, which walks skip metadata in RAM
 # (Lexicon.cpp:196-214) — leaving Spark exactly two decode jobs.  The
-# estimate is Σ_t ceil(df_t / postings_per_chunk), a hard upper bound
-# known from the driver df probe before any job runs.  1 M rows ≈
-# tens of MB of pandas; past that the fully-distributed planner below
-# takes over (identical results — pinned by tests/test_pruning.py).
+# estimate (see ``_estimate_meta_rows``) is a hard upper bound known
+# from the driver df probe before any job runs.  1 M rows ≈ tens of MB
+# of pandas; past that the fully-distributed planner below takes over
+# (identical results — pinned by tests/test_pruning.py).
 PLAN_LOCAL_MAX_META_ROWS = 1_000_000
+
+
+def _estimate_meta_rows(queries: dict[str, str], dfs: dict[str, int],
+                        total_docs: int, cfg: EngineConfig,
+                        mode: str) -> int:
+    """Sound upper bound on |meta| = # (query_id, term, seg, block_id)
+    rows, from driver-known quantities only (no job).
+
+    Per (query, term) occurrence — NOT per distinct term: a head term
+    shared by Q queries appears Q× in meta.  Per occurrence the term's
+    block rows are Σ_seg ceil(df_seg / chunk) ≤ ceil(df / chunk) +
+    #nonempty segs ≤ ceil(df/chunk) + min(df, n_segs): each nonempty
+    segment adds at most one partial block (a term spread one posting
+    per segment has ~n_segs block rows even though df/chunk ≈ 0 —
+    the regime the old Σ_t df_t//chunk estimate missed by up to
+    chunk×batch_size)."""
+    chunk = cfg.postings_per_chunk
+    n_segs = max(1, -(-total_docs // cfg.segment_docs))
+    total = 0
+    for q in queries.values():
+        for t in set(tokenizer.split_query(q, mode)):
+            df = dfs.get(t, 0)
+            total += min(df, n_segs) + -(-df // chunk)
+    return max(1, total)
 
 
 def block_upper_bound(cfg: EngineConfig, total_docs: int, avg_len: float,
@@ -198,15 +222,18 @@ def search_pruned(
     # never payload — safe at any corpus size.
     #
     # Partition counts are sized from the driver-side df probe when
-    # available: the exhaustive block-row count is
-    # Σ_t ceil(df_t / postings_per_chunk), a hard upper bound on every
-    # table and decode set below.  Tiny queries then run 1-8-task
-    # stages instead of scheduling 25-64 mostly-empty tasks per stage
-    # (explicit repartition counts are NOT AQE-coalesced) — measured
-    # as the dominant pruned-tier constant at small corpora — while
-    # head-term queries at large corpora still fan out.
-    est_rows = sum(max(1, d // cfg.postings_per_chunk)
-                   for d in dfs.values()) if dfs else 1 << 20
+    # available: ``_estimate_meta_rows`` is a hard upper bound on every
+    # table and decode set below (per-(query,term) occurrence ×
+    # per-segment partial blocks — not the old per-distinct-term
+    # df//chunk, which undercounted by up to chunk × batch_size).
+    # Tiny queries then run 1-8-task stages instead of scheduling
+    # 25-64 mostly-empty tasks per stage (explicit repartition counts
+    # are NOT AQE-coalesced) — measured as the dominant pruned-tier
+    # constant at small corpora — while head-term queries at large
+    # corpora still fan out.
+    mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
+    est_rows = (_estimate_meta_rows(queries, dfs, total_docs, cfg, mode)
+                if dfs else 1 << 20)
     n_meta = max(1, min(32, est_rows // 250_000 + 1))
     kernel_parts = max(8, min(spark.sparkContext.defaultParallelism * 2,
                               est_rows // 2_000 + 1))

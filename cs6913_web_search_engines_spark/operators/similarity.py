@@ -177,12 +177,23 @@ def _centroid_matrix(embeddings: DataFrame, n_centroids: int):
     return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
+def _resolve_method(n_centroids: int, method: str | None) -> str:
+    """Centroid-shipping policy, shared by ivf_assign / ivf_topk /
+    neardup_pairs: SQL-oracle-exact literal fold expressions for a
+    small coarse quantizer, broadcast numpy matrix + Arrow kernel
+    above :data:`LITERAL_CENTROID_MAX` (plan size O(1) vs O(C·dim))."""
+    if method is not None:
+        return method
+    return "literal" if n_centroids <= LITERAL_CENTROID_MAX else "broadcast"
+
+
 def _with_cells_kernel(
     embeddings: DataFrame,
     n_centroids: int,
     vec_col: str = "embedding",
     nprobe: int | None = None,
     centroid_src: DataFrame | None = None,
+    bc_centroids=None,
 ):
     """Append ``centroid_id`` (argmax cosine; or ``probe_ids``
     array<bigint> of the nprobe nearest when ``nprobe`` is set) via an
@@ -198,12 +209,19 @@ def _with_cells_kernel(
     order; assignments agree except on exact cosine ties between
     distinct centroids, which the fixture-scale cross-path test pins).
     """
-    sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast(
-        _centroid_matrix(
-            embeddings if centroid_src is None else centroid_src, n_centroids
+    if bc_centroids is not None:
+        # caller already collected + broadcast the matrix (ivf_topk
+        # needs the same centroids for queries and members — one
+        # collect job and one torrent broadcast, not two)
+        bc = bc_centroids
+    else:
+        sc = embeddings.sparkSession.sparkContext
+        bc = sc.broadcast(
+            _centroid_matrix(
+                embeddings if centroid_src is None else centroid_src,
+                n_centroids,
+            )
         )
-    )
     if nprobe is None:
         out_field = T.StructField("centroid_id", T.LongType(), False)
     else:
@@ -244,8 +262,7 @@ def ivf_assign(
     (SQL-oracle-exact, plan size O(C·dim)); ``"broadcast"`` ships them
     as a numpy matrix into an Arrow kernel (plan size O(1)).  Default:
     literal up to :data:`LITERAL_CENTROID_MAX`, broadcast above."""
-    if method is None:
-        method = "literal" if n_centroids <= LITERAL_CENTROID_MAX else "broadcast"
+    method = _resolve_method(n_centroids, method)
     if method == "broadcast":
         return _with_cells_kernel(embeddings, n_centroids).select(
             "vec_id", "centroid_id"
@@ -275,19 +292,21 @@ def ivf_topk(
     :func:`ivf_assign` — literal fold expressions for a small coarse
     quantizer, broadcast numpy matrix + Arrow kernel above
     :data:`LITERAL_CENTROID_MAX`."""
-    if method is None:
-        method = "literal" if n_centroids <= LITERAL_CENTROID_MAX else "broadcast"
+    method = _resolve_method(n_centroids, method)
     if method == "broadcast":
+        bc = embeddings.sparkSession.sparkContext.broadcast(
+            _centroid_matrix(embeddings, n_centroids)
+        )
         q = _with_cells_kernel(
             embeddings.filter(F.col("vec_id") < n_queries),
-            n_centroids, nprobe=nprobe, centroid_src=embeddings,
+            n_centroids, nprobe=nprobe, bc_centroids=bc,
         ).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.explode("probe_ids").alias("centroid_id"),
         )
         probes = q
-        members = _with_cells_kernel(embeddings, n_centroids)
+        members = _with_cells_kernel(embeddings, n_centroids, bc_centroids=bc)
     else:
         cents = _centroid_literals(embeddings, n_centroids)
         q = embeddings.filter(F.col("vec_id") < n_queries).select(
@@ -378,8 +397,7 @@ def neardup_pairs(
     centroid kernel past :data:`LITERAL_CENTROID_MAX` cells (see
     :func:`ivf_assign`).
     """
-    if method is None:
-        method = "literal" if n_centroids <= LITERAL_CENTROID_MAX else "broadcast"
+    method = _resolve_method(n_centroids, method)
     if method == "broadcast":
         withcell = _with_cells_kernel(embeddings, n_centroids).select(
             "vec_id", "embedding", "centroid_id"

@@ -209,12 +209,25 @@ def compact_index(
             "compact_index swaps shard directories on the local "
             f"filesystem; got URI path {out!r}")
     index_dir = os.path.join(out, "index")
+    old_dir = index_dir + ".compact_old"
+    # Recovery from a crash inside a previous swap loop: any shard
+    # stashed aside but never replaced is restored before we read.
+    if os.path.isdir(old_dir):
+        for name in os.listdir(old_dir):
+            dst = os.path.join(index_dir, name)
+            if not os.path.exists(dst):
+                shutil.move(os.path.join(old_dir, name), dst)
+        shutil.rmtree(old_dir, ignore_errors=True)
     blocks = spark.read.parquet(index_dir)
     frag = (
         blocks.groupBy("term", "seg")
         .agg(F.count(F.when(F.col("block_id") == 0, 1)).alias("n_gen"))
         .filter(F.col("n_gen") > max_generations)
         .select("term", "seg")
+        # referenced by the shard collect, the count, and two joins —
+        # materialize the tiny (term, seg) set once instead of
+        # re-running the full metadata scan + groupBy per reference
+        .localCheckpoint(eager=True)
     )
     # shard = f(term): every generation of a fragmented group lives in
     # one shard partition, so the rewrite set is a shard list (≤
@@ -224,9 +237,9 @@ def compact_index(
         for r in blocks.join(frag, ["term", "seg"], "left_semi")
         .select("shard").distinct().collect()
     ]
-    n_frag = frag.count()
     if not affected:
         return {"compacted_groups": 0, "compacted_shards": 0}
+    n_frag = frag.count()
     in_shards = blocks.filter(F.col("shard").isin(affected))
     frag_rows = in_shards.join(frag, ["term", "seg"], "left_semi")
     keep_rows = in_shards.join(frag, ["term", "seg"], "left_anti")
@@ -241,10 +254,18 @@ def compact_index(
     tmp = index_dir + ".compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     staged.write.partitionBy("shard").mode("overwrite").parquet(tmp)
+    # Crash-safe swap: stash the live shard aside (atomic rename to a
+    # sibling dir, OUTSIDE index_dir so partition discovery never sees
+    # it), install the rewrite (atomic rename), delete stashes last.
+    # A kill between the two renames leaves the shard in old_dir, and
+    # the recovery preamble above restores it on the next call — never
+    # the silent permanent loss of rmtree-then-move.
+    os.makedirs(old_dir, exist_ok=True)
     for k in affected:
         dst = os.path.join(index_dir, f"shard={k}")
         src = os.path.join(tmp, f"shard={k}")
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.move(src, dst)
+        os.rename(dst, os.path.join(old_dir, f"shard={k}"))
+        os.rename(src, dst)
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return {"compacted_groups": int(n_frag), "compacted_shards": len(affected)}

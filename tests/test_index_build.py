@@ -159,6 +159,53 @@ def test_stale_bucket_fn_checkpoint_is_wiped_not_resumed(built, tmp_path_factory
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_runs_uri_checkpoint(built, tmp_path_factory):
+    """write_runs over a URI path (file:// here; same Hadoop
+    FileSystem client as hdfs://, s3a://): manifest read/write, the
+    resume skip, and per-bucket byte accounting must all work without
+    the local-os fast paths (VERDICT r3 review: the _bucket_counts
+    Spark fallback alone left manifest I/O os-only, so URI checkpoints
+    could never complete end-to-end)."""
+    postings, *_ = built
+    local = str(tmp_path_factory.mktemp("runs_uri") / "runs")
+    path = "file://" + local
+    cfg = EngineConfig(run_partitions=4)
+    m1 = ib.write_runs(postings, path, cfg, lineage={"source": "sf0.001"})
+    assert m1["total_postings"] == postings.count()
+    assert all(b["complete"] for b in m1["buckets"])
+    assert all((b["bytes"] or 0) > 0 for b in m1["buckets"])
+    import os
+
+    assert os.path.exists(os.path.join(local, "_manifest.json"))
+    # resume: all buckets complete → nothing appended, same totals
+    m2 = ib.write_runs(postings, path, cfg)
+    assert m2["total_postings"] == m1["total_postings"]
+    back = set(map(tuple, ib.read_runs(postings.sparkSession, path)
+                   .collect()))
+    direct = set(map(tuple, postings.select("doc_id", "term", "tf")
+                     .collect()))
+    assert back == direct
+    # stale bucket_fn over URI → Hadoop wipe_children path
+    import json
+
+    with open(os.path.join(local, "_manifest.json"), "w") as f:
+        json.dump({"bucket_fn": "xxhash64%32",
+                   "buckets": [{"bucket": b["bucket"], "complete": True}
+                               for b in m1["buckets"]]}, f)
+    # the out-of-band plain-file write above invalidates the local
+    # Hadoop client's checksum sidecar; a real hdfs/s3a writer would
+    # go through the same client and keep it consistent
+    crc = os.path.join(local, "._manifest.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    m3 = ib.write_runs(postings, path, cfg)
+    assert m3["total_postings"] == m1["total_postings"]
+    back3 = ib.read_runs(postings.sparkSession, path)
+    assert back3.count() == postings.count()
+    assert back3.distinct().count() == back3.count()
+    shutil.rmtree(local, ignore_errors=True)
+
+
 def test_fused_build_equals_staged(spark, documents, tmp_path):
     """The fused single-pass build (tokenize+encode in one kernel, no
     posting shuffle) must emit byte-identical index blocks and

@@ -183,3 +183,30 @@ def test_upper_bound_is_sound(spark, compressed):
         .count()
     )
     assert bad == 0
+
+
+def test_meta_row_estimate_is_upper_bound(spark, compressed):
+    """The driver-plan gate and partition sizing hinge on
+    _estimate_meta_rows being a SOUND upper bound on the actual
+    (query_id, term, seg, block_id) metadata row count — including
+    per-query term multiplication (shared head terms) and the
+    one-partial-block-per-nonempty-segment floor that the naive
+    Σ df//chunk estimate misses."""
+    path, cfg, postings, doc_stats, stats, lexicon = compressed
+    # replicate head terms across many queries to stress the
+    # per-occurrence multiplication
+    batch = dict(QUERIES)
+    for i in range(20):
+        batch[f"b{i}"] = "the data query"
+    meta, qt, all_terms = pruning._query_meta(
+        spark, path, lexicon, batch, cfg)
+    actual = meta.count()
+    dfs = {r["term"]: int(r["df"])
+           for r in lexicon.select("term", "df").collect()}
+    est = pruning._estimate_meta_rows(
+        batch, dfs, int(stats["total_docs"]), cfg, "hw3")
+    assert est >= actual, (est, actual)
+    # and the old per-distinct-term formula demonstrably is NOT sound
+    # here (documenting why it was replaced)
+    old = sum(max(1, d // cfg.postings_per_chunk) for d in dfs.values())
+    assert old < actual

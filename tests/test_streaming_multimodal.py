@@ -159,3 +159,45 @@ def test_media_metadata_prunes_payload_column(spark, documents, tmp_path):
 def test_decode_media_is_stubbed(spark, documents):
     with pytest.raises(NotImplementedError):
         mm.decode_media(mm.synthesize_media(documents.limit(1)))
+
+def test_compaction_swap_crash_recovery(spark, documents, tmp_path):
+    """A kill between the two atomic renames of the shard swap leaves
+    the live shard stashed in index.compact_old; the next compact_index
+    call must restore it before reading (no silent shard loss — the
+    failure mode of the old rmtree-then-move swap)."""
+    import os
+    import shutil
+
+    from cs6913_web_search_engines_spark.operators import block_codec as bc
+
+    cfg = EngineConfig(segment_docs=1 << 20)
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "idx")
+    for third in range(3):
+        (documents.filter(F.col("doc_id") % 3 == third)
+         .repartition(1).write.mode("append").parquet(src))
+        si.run_incremental_build(spark, src, out, cfg)
+    index_dir = os.path.join(out, "index")
+    shard_dirs = [n for n in os.listdir(index_dir) if n.startswith("shard=")]
+    victim = sorted(shard_dirs)[0]
+    # simulate the crash window: shard stashed aside, replacement never
+    # installed
+    old_dir = index_dir + ".compact_old"
+    os.makedirs(old_dir, exist_ok=True)
+    shutil.move(os.path.join(index_dir, victim), os.path.join(old_dir, victim))
+    assert not os.path.exists(os.path.join(index_dir, victim))
+
+    stats = si.compact_index(spark, out, cfg, max_generations=1)
+    assert stats["compacted_groups"] > 0
+    assert not os.path.isdir(old_dir)            # stash cleaned up
+    got = spark.read.parquet(index_dir)
+    want = bc.encode_index(ib.build_postings(documents), cfg)
+
+    def rows(df):
+        return sorted(
+            tuple(bytes(v) if isinstance(v, (bytes, bytearray))
+                  else tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select(*bc._BLOCK_COLS, "shard").collect()
+        )
+
+    assert rows(got) == rows(want)               # nothing lost
