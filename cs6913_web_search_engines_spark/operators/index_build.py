@@ -37,83 +37,7 @@ from pyspark.sql import functions as F
 
 from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
 from cs6913_web_search_engines_spark.functions import tokenizer
-
-
-class _RunsFs:
-    """Minimal filesystem shim for :func:`write_runs` checkpoint
-    metadata (manifest read/write, stale-checkpoint wipe): plain
-    ``os``/``open`` for local paths, the Hadoop FileSystem API (via
-    the JVM gateway — the same client Spark's own writers use) for
-    URI paths (``hdfs://``, ``s3a://``, ``file://``), so the runs
-    checkpoint works end-to-end wherever the parquet itself can be
-    written.  The ``file://`` scheme exercises the Hadoop branch in
-    local tests."""
-
-    def __init__(self, spark: SparkSession, base: str):
-        self.remote = "://" in base
-        if self.remote:
-            jvm = spark._jvm
-            self._jvm = jvm
-            self._Path = jvm.org.apache.hadoop.fs.Path
-            self._fs = self._Path(base).getFileSystem(
-                spark._jsc.hadoopConfiguration())
-
-    def exists(self, path: str) -> bool:
-        if not self.remote:
-            return os.path.exists(path)
-        return self._fs.exists(self._Path(path))
-
-    def read_text(self, path: str) -> str:
-        if not self.remote:
-            with open(path) as f:
-                return f.read()
-        stream = self._fs.open(self._Path(path))
-        try:
-            # py4j copies byte[] by value, so a mutate-the-buffer read
-            # loop can't work from Python; commons-io (on Spark's
-            # classpath) drains the stream JVM-side in one call
-            return self._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8")
-        finally:
-            stream.close()
-
-    def write_text(self, path: str, text: str) -> None:
-        if not self.remote:
-            with open(path, "w") as f:
-                f.write(text)
-            return
-        stream = self._fs.create(self._Path(path), True)
-        try:
-            stream.write(bytearray(text.encode("utf-8")))
-        finally:
-            stream.close()
-
-    def wipe_children(self, base: str) -> None:
-        if not self.remote:
-            import shutil
-
-            for name in os.listdir(base):
-                full = os.path.join(base, name)
-                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-            return
-        for st in self._fs.listStatus(self._Path(base)):
-            self._fs.delete(st.getPath(), True)
-
-    def bucket_bytes(self, base: str) -> dict[int, int]:
-        """{bucket: total parquet bytes} under ``run=<bucket>/`` — the
-        remote complement to the local footer fast path's sizes."""
-        sizes: dict[int, int] = {}
-        for st in self._fs.listStatus(self._Path(base)):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith("run=")):
-                continue
-            bucket = int(name.split("=", 1)[1])
-            total = 0
-            for f in self._fs.listStatus(st.getPath()):
-                if f.getPath().getName().endswith(".parquet"):
-                    total += f.getLen()
-            sizes[bucket] = total
-        return sizes
+from cs6913_web_search_engines_spark.sources.fsutil import FsShim
 
 
 def build_postings(documents: DataFrame) -> DataFrame:
@@ -285,7 +209,7 @@ def write_runs(
     manifest already marks a bucket complete, it is skipped on re-run
     (kill-between-stages resumability, SURVEY §5).
     """
-    fs = _RunsFs(postings.sparkSession, path)
+    fs = FsShim(postings.sparkSession, path)
     manifest_path = path.rstrip("/") + "/_manifest.json"
     # The bucket function is part of the checkpoint's identity: resuming
     # runs bucketed under a DIFFERENT hash or partition count would mix

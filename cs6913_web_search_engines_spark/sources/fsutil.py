@@ -1,0 +1,137 @@
+"""Filesystem shim for checkpoint/index maintenance metadata I/O.
+
+Spark DataFrames read and write parquet through Hadoop's FileSystem
+abstraction, but the engine's *maintenance* operations — run-checkpoint
+manifests (``operators/index_build.write_runs``) and the compaction
+shard swap (``streaming/incremental.compact_index``) — need plain
+file ops: exists / read / write / rename / list / delete.  This shim
+gives them one implementation that is ``os``-level for local paths and
+the Hadoop FileSystem API (via the JVM gateway — the same client
+Spark's own writers use) for URI paths (``hdfs://``, ``s3a://``,
+``file://``), so those operations work end-to-end wherever the parquet
+itself can live.  The ``file://`` scheme exercises the Hadoop branch
+in local tests.
+
+Atomicity caveat (documented, not hidden): ``rename`` is atomic on
+POSIX filesystems and on HDFS, which is what the compaction swap's
+crash-safety argument relies on; object stores (s3a) implement rename
+as copy+delete, so a long-lived index there should prefer a table
+format's own rewrite action (e.g. Iceberg rewrite_data_files) over
+directory swaps.
+
+Reference analog: the reference's builds simply fopen/rename local
+files (IndexBuilder.cpp merge outputs); distributed durable storage
+is part of the Spark restatement.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+class FsShim:
+    """os-level ops for local paths, Hadoop FileSystem for URI paths."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.remote = "://" in base
+        if self.remote:
+            jvm = spark._jvm
+            self._jvm = jvm
+            self._Path = jvm.org.apache.hadoop.fs.Path
+            self._fs = self._Path(base).getFileSystem(
+                spark._jsc.hadoopConfiguration())
+
+    # -- files ------------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        if not self.remote:
+            return os.path.exists(path)
+        return self._fs.exists(self._Path(path))
+
+    def read_text(self, path: str) -> str:
+        if not self.remote:
+            with open(path) as f:
+                return f.read()
+        stream = self._fs.open(self._Path(path))
+        try:
+            # py4j copies byte[] by value, so a mutate-the-buffer read
+            # loop can't work from Python; commons-io (on Spark's
+            # classpath) drains the stream JVM-side in one call
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        if not self.remote:
+            with open(path, "w") as f:
+                f.write(text)
+            return
+        stream = self._fs.create(self._Path(path), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+
+    # -- directories ------------------------------------------------------
+    def is_dir(self, path: str) -> bool:
+        if not self.remote:
+            return os.path.isdir(path)
+        p = self._Path(path)
+        return self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory()
+
+    def list_names(self, path: str) -> list[str]:
+        if not self.remote:
+            return os.listdir(path)
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(self._Path(path))]
+
+    def mkdirs(self, path: str) -> None:
+        if not self.remote:
+            os.makedirs(path, exist_ok=True)
+            return
+        self._fs.mkdirs(self._Path(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic on POSIX and HDFS; copy+delete on object stores
+        (see module docstring)."""
+        if not self.remote:
+            os.rename(src, dst)
+            return
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def delete_tree(self, path: str) -> None:
+        if not self.remote:
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        p = self._Path(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, True)
+
+    def wipe_children(self, base: str) -> None:
+        if not self.remote:
+            for name in os.listdir(base):
+                full = os.path.join(base, name)
+                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            return
+        for st in self._fs.listStatus(self._Path(base)):
+            self._fs.delete(st.getPath(), True)
+
+    def bucket_bytes(self, base: str) -> dict[int, int]:
+        """{bucket: total parquet bytes} under ``run=<bucket>/`` — the
+        remote complement to the local parquet-footer fast path."""
+        sizes: dict[int, int] = {}
+        for st in self._fs.listStatus(self._Path(base)):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("run=")):
+                continue
+            bucket = int(name.split("=", 1)[1])
+            total = 0
+            for f in self._fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    total += f.getLen()
+            sizes[bucket] = total
+        return sizes

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
 from cs6913_web_search_engines_spark.operators import index_build as ib
+from cs6913_web_search_engines_spark.sources.fsutil import FsShim
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -196,28 +197,29 @@ def compact_index(
        step is a rewrite_data_files action over the same row set.
 
     Idempotent: a compacted group has one generation and is skipped.
-    """
-    import shutil
 
+    Works on local paths and on URI paths (hdfs://, file://) through
+    the same shard-swap protocol via :class:`FsShim` — rename is
+    atomic on POSIX and HDFS, which is what the crash-safety argument
+    needs.  Object stores (s3a) rename by copy+delete; a long-lived
+    index there should prefer the table format's own rewrite action
+    (e.g. Iceberg rewrite_data_files) over directory swaps.
+    """
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
-    if "://" in out:
-        # the shard-swap below is os-level; a remote index (hdfs://,
-        # s3a://) wants the table format's own rewrite action
-        # (e.g. Iceberg rewrite_data_files) over the same row set
-        raise NotImplementedError(
-            "compact_index swaps shard directories on the local "
-            f"filesystem; got URI path {out!r}")
-    index_dir = os.path.join(out, "index")
+    fs = FsShim(spark, out)
+    join = (lambda *p: "/".join(s.rstrip("/") for s in p)) if fs.remote \
+        else os.path.join
+    index_dir = join(out, "index")
     old_dir = index_dir + ".compact_old"
     # Recovery from a crash inside a previous swap loop: any shard
     # stashed aside but never replaced is restored before we read.
-    if os.path.isdir(old_dir):
-        for name in os.listdir(old_dir):
-            dst = os.path.join(index_dir, name)
-            if not os.path.exists(dst):
-                shutil.move(os.path.join(old_dir, name), dst)
-        shutil.rmtree(old_dir, ignore_errors=True)
+    if fs.is_dir(old_dir):
+        for name in fs.list_names(old_dir):
+            dst = join(index_dir, name)
+            if not fs.exists(dst):
+                fs.rename(join(old_dir, name), dst)
+        fs.delete_tree(old_dir)
     blocks = spark.read.parquet(index_dir)
     frag = (
         blocks.groupBy("term", "seg")
@@ -252,7 +254,7 @@ def compact_index(
     cols = bc._BLOCK_COLS + ["shard"]
     staged = keep_rows.select(*cols).unionByName(redone.select(*cols))
     tmp = index_dir + ".compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete_tree(tmp)
     staged.write.partitionBy("shard").mode("overwrite").parquet(tmp)
     # Crash-safe swap: stash the live shard aside (atomic rename to a
     # sibling dir, OUTSIDE index_dir so partition discovery never sees
@@ -260,12 +262,12 @@ def compact_index(
     # A kill between the two renames leaves the shard in old_dir, and
     # the recovery preamble above restores it on the next call — never
     # the silent permanent loss of rmtree-then-move.
-    os.makedirs(old_dir, exist_ok=True)
+    fs.mkdirs(old_dir)
     for k in affected:
-        dst = os.path.join(index_dir, f"shard={k}")
-        src = os.path.join(tmp, f"shard={k}")
-        os.rename(dst, os.path.join(old_dir, f"shard={k}"))
-        os.rename(src, dst)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old_dir, ignore_errors=True)
+        dst = join(index_dir, f"shard={k}")
+        src = join(tmp, f"shard={k}")
+        fs.rename(dst, join(old_dir, f"shard={k}"))
+        fs.rename(src, dst)
+    fs.delete_tree(tmp)
+    fs.delete_tree(old_dir)
     return {"compacted_groups": int(n_frag), "compacted_shards": len(affected)}

@@ -201,3 +201,36 @@ def test_compaction_swap_crash_recovery(spark, documents, tmp_path):
         )
 
     assert rows(got) == rows(want)               # nothing lost
+
+
+def test_compaction_over_uri_path(spark, documents, tmp_path):
+    """compact_index over a URI path (file:// here; hdfs:// shares the
+    same FileSystem client and atomic-rename contract): the shard swap
+    must work without os-level path access."""
+    import os
+
+    from cs6913_web_search_engines_spark.operators import block_codec as bc
+
+    cfg = EngineConfig(segment_docs=1 << 20)
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "idx")
+    for half in range(2):
+        (documents.filter(F.col("doc_id") % 2 == half)
+         .repartition(1).write.mode("append").parquet(src))
+        si.run_incremental_build(spark, src, out, cfg)
+    stats = si.compact_index(spark, "file://" + out, cfg, max_generations=1)
+    assert stats["compacted_groups"] > 0
+    got = spark.read.parquet(os.path.join(out, "index"))
+    want = bc.encode_index(ib.build_postings(documents), cfg)
+
+    def rows(df):
+        return sorted(
+            tuple(bytes(v) if isinstance(v, (bytes, bytearray))
+                  else tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select(*bc._BLOCK_COLS, "shard").collect()
+        )
+
+    assert rows(got) == rows(want)
+    # idempotent over the URI too
+    again = si.compact_index(spark, "file://" + out, cfg, max_generations=1)
+    assert again == {"compacted_groups": 0, "compacted_shards": 0}
