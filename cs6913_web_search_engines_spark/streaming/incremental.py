@@ -87,13 +87,20 @@ def run_incremental_build(
     ``compact_generations``: when set, finalize ends with
     :func:`compact_index` — (term, seg) groups spanning more than this
     many appended generations are re-encoded into one (and the stats
-    gain the compaction counters)."""
+    gain the compaction counters).
+
+    ``out`` may be a local path or a URI (hdfs://, file://): the
+    finalize snapshot and run listing go through :class:`FsShim`, the
+    parquet/checkpoint writes through Spark's own Hadoop client."""
     import json
 
-    runs_dir = os.path.join(out, "runs")
-    ckpt_dir = os.path.join(out, "_stream_checkpoint")
-    fin_path = os.path.join(out, "_finalized.json")
-    if os.path.isfile(docs_dir):
+    fs = FsShim(spark, out)
+    join = (lambda *p: "/".join(s.rstrip("/") for s in p)) if fs.remote \
+        else os.path.join
+    runs_dir = join(out, "runs")
+    ckpt_dir = join(out, "_stream_checkpoint")
+    fin_path = join(out, "_finalized.json")
+    if not fs.remote and os.path.isfile(docs_dir):
         # The file stream source requires a directory; stage a
         # symlink (sandbox convenience — real deployments stream a
         # landing directory of WARC-derived parquet drops).
@@ -131,15 +138,14 @@ def run_incremental_build(
     # incremental finalize: encode only runs newer than the last
     # finalized snapshot, append their blocks to the index
     finalized: set[int] = set()
-    if os.path.exists(fin_path):
-        with open(fin_path) as f:
-            finalized = set(json.load(f)["runs"])
+    if fs.exists(fin_path):
+        finalized = set(json.loads(fs.read_text(fin_path))["runs"])
     all_runs = sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(runs_dir)
+        int(d.split("=", 1)[1]) for d in fs.list_names(runs_dir)
         if d.startswith("run=")
     )
     new_runs = [r for r in all_runs if r not in finalized]
-    index_dir = os.path.join(out, "index")
+    index_dir = join(out, "index")
     if new_runs:
         runs = (
             spark.read.parquet(runs_dir)
@@ -148,8 +154,7 @@ def run_incremental_build(
         )
         blocks_new = bc.encode_index(runs, cfg)
         blocks_new.write.partitionBy("shard").mode("append").parquet(index_dir)
-        with open(fin_path, "w") as f:
-            json.dump({"runs": all_runs}, f)
+        fs.write_text(fin_path, json.dumps({"runs": all_runs}))
     compact_stats = {}
     if compact_generations is not None:
         compact_stats = compact_index(spark, out, cfg,
@@ -160,7 +165,7 @@ def run_incremental_build(
     lexicon = blocks.groupBy("term").agg(
         F.sum("n_postings").alias("df"), F.max("max_tf").alias("max_tf")
     )
-    lexicon.write.mode("overwrite").parquet(os.path.join(out, "lexicon"))
+    lexicon.write.mode("overwrite").parquet(join(out, "lexicon"))
     return {
         "n_batches": len(all_runs),
         "n_new_runs": len(new_runs),

@@ -234,3 +234,27 @@ def test_compaction_over_uri_path(spark, documents, tmp_path):
     # idempotent over the URI too
     again = si.compact_index(spark, "file://" + out, cfg, max_generations=1)
     assert again == {"compacted_groups": 0, "compacted_shards": 0}
+
+
+def test_incremental_build_over_uri_out(spark, documents, tmp_path):
+    """The whole incremental pipeline (stream drain → run append →
+    incremental finalize → compaction) against a URI output directory:
+    the finalize snapshot, run listing, and shard swap must all go
+    through the filesystem shim, not os paths."""
+    src = str(tmp_path / "drops")
+    out = "file://" + str(tmp_path / "idx")
+    half_a = documents.filter(F.col("doc_id") % 2 == 0)
+    half_b = documents.filter(F.col("doc_id") % 2 == 1)
+    cfg = EngineConfig(segment_docs=1 << 20)
+    half_a.repartition(1).write.parquet(src)
+    s1 = si.run_incremental_build(spark, src, out, cfg)
+    assert s1["n_batches"] == 1 and s1["n_new_runs"] == 1
+    half_b.repartition(1).write.mode("append").parquet(src)
+    s2 = si.run_incremental_build(spark, src, out, cfg,
+                                  compact_generations=1)
+    assert s2["n_new_runs"] == 1                # incremental finalize
+    assert s2["compacted_groups"] > 0           # URI compaction ran
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple, ib.build_lexicon(
+        ib.build_postings(documents)).collect()))
+    assert got == want
