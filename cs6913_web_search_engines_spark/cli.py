@@ -59,9 +59,11 @@ def cmd_build(args) -> None:
 
 def _engine(spark, index_dir: str, k: int):
     from cs6913_web_search_engines_spark.engine import QueryEngine
+    from cs6913_web_search_engines_spark.sources.fsutil import FsShim
 
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
+    stats = json.loads(
+        FsShim(spark, index_dir).read_text(
+            os.path.join(index_dir, "stats.json")))
     cfg = EngineConfig(
         top_k=k,
         n_term_shards=stats["config"]["n_term_shards"],

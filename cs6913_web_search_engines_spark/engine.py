@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
 from cs6913_web_search_engines_spark.functions import tokenizer, varbyte
+from cs6913_web_search_engines_spark.sources.fsutil import FsShim
 from cs6913_web_search_engines_spark.operators import (
     block_codec, pruning, query_exec,
 )
@@ -59,8 +60,11 @@ class QueryEngine:
         self.spark = spark
         self.index_path = os.path.join(index_dir, "index")
         self.cfg = cfg
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            self.stats = json.load(f)
+        # FsShim: stats.json may live beside a URI-hosted index
+        # (hdfs://, file://) as well as a local one
+        self.stats = json.loads(
+            FsShim(spark, index_dir).read_text(
+                os.path.join(index_dir, "stats.json")))
         if broadcast_doc_stats is None:
             # a broadcast doc_stats is a driver collect + per-executor
             # copy — a win only while the page table is genuinely

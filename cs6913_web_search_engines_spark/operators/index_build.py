@@ -392,6 +392,6 @@ def build_full(
             },
         }
     )
-    with open(os.path.join(out, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
+    FsShim(spark, out).write_text(os.path.join(out, "stats.json"),
+                                  json.dumps(stats, indent=1))
     return stats

@@ -163,3 +163,19 @@ def test_pruned_tier_respects_hw2_query_tokenizer(spark, hw2_index):
     hw3 = qe.search_compressed(spark, f"{out}/index", lexicon, doc_stats,
                                stats, {"q0": "data fast join"}, cfg2).collect()
     assert _key(pr) != _key(hw3)
+
+
+def test_engine_over_uri_index(spark, documents, engine, tmp_path_factory):
+    """Build to a file:// URI and serve queries from it: stats.json
+    goes through the filesystem shim (was a plain open() — the last
+    local-only step between build and query on a URI-hosted index).
+    Results must be rank-identical to the local-path engine."""
+    local = str(tmp_path_factory.mktemp("engidx_uri") / "idx")
+    out = "file://" + local
+    cfg = EngineConfig(segment_docs=256)
+    ib.build_full(spark, documents, out, cfg,
+                  checkpoint_runs=False, fused=True)
+    eng_uri = QueryEngine(spark, out, cfg)
+    got = eng_uri.search(QUERIES).collect()
+    want = engine.search(QUERIES).collect()
+    assert got and _key(got) == _key(want)
