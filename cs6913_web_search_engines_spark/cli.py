@@ -70,7 +70,7 @@ def _engine(spark, index_dir: str, k: int):
         segment_docs=stats["config"]["segment_docs"],
     )
     # tiered planner: driver-local / segmented / exhaustive / pruned
-    return QueryEngine(spark, index_dir, cfg)
+    return QueryEngine(spark, index_dir, cfg, stats=stats)
 
 
 def cmd_query(args) -> None:

@@ -56,15 +56,18 @@ class QueryEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
                  cfg: EngineConfig = DEFAULT, cache: bool = True,
                  broadcast_doc_stats: bool | None = None,
-                 norms_in_ram: bool | None = None):
+                 norms_in_ram: bool | None = None,
+                 stats: dict | None = None):
         self.spark = spark
-        self.index_path = os.path.join(index_dir, "index")
+        fs = FsShim(spark, index_dir)
+        self.index_path = fs.join(index_dir, "index")
         self.cfg = cfg
         # FsShim: stats.json may live beside a URI-hosted index
-        # (hdfs://, file://) as well as a local one
-        self.stats = json.loads(
-            FsShim(spark, index_dir).read_text(
-                os.path.join(index_dir, "stats.json")))
+        # (hdfs://, file://) as well as a local one.  Callers that
+        # already loaded it (the CLI) pass it in to skip a second
+        # remote round trip.
+        self.stats = stats if stats is not None else json.loads(
+            fs.read_text(fs.join(index_dir, "stats.json")))
         if broadcast_doc_stats is None:
             # a broadcast doc_stats is a driver collect + per-executor
             # copy — a win only while the page table is genuinely
@@ -72,8 +75,8 @@ class QueryEngine:
             # doc_id (the 10^12-doc regime uses a bucketed layout)
             broadcast_doc_stats = self.stats["total_docs"] <= 2_000_000
         self.broadcast_doc_stats = broadcast_doc_stats
-        self.lexicon = spark.read.parquet(os.path.join(index_dir, "lexicon"))
-        self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        self.lexicon = spark.read.parquet(fs.join(index_dir, "lexicon"))
+        self.doc_stats = spark.read.parquet(fs.join(index_dir, "doc_stats"))
         self.blocks = spark.read.parquet(self.index_path)
         if cache:
             self.lexicon = self.lexicon.cache()

@@ -245,7 +245,16 @@ def write_runs(
         tagged.repartitionByRange(cfg.run_partitions, "run")
         .sortWithinPartitions("term", "doc_id")
         .write.partitionBy("run")
-        .mode("append")
+        # dynamic overwrite, NOT append: a crash after the parquet job
+        # commits but before the manifest below is written would make
+        # an append-mode re-run duplicate every posting of the
+        # re-written buckets; overwrite of exactly the written run=K
+        # partitions is idempotent (bucket content is a deterministic
+        # function of postings + cfg), so re-running the stage always
+        # converges to the same bytes — exactly-once without a
+        # transaction log
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(path)
     )
     elapsed = time.time() - t0

@@ -35,14 +35,33 @@ from pyspark.sql import SparkSession
 class FsShim:
     """os-level ops for local paths, Hadoop FileSystem for URI paths."""
 
+    # Schemes whose rename is a true atomic metadata operation — the
+    # contract the compaction shard swap and atomic metadata writes
+    # rely on.  Object stores (s3a, gs, abfs, ...) rename by
+    # copy+delete and are deliberately NOT listed.
+    ATOMIC_RENAME_SCHEMES = frozenset({"file", "hdfs", "viewfs"})
+
     def __init__(self, spark: SparkSession, base: str):
         self.remote = "://" in base
+        self.scheme = base.split("://", 1)[0] if self.remote else ""
         if self.remote:
             jvm = spark._jvm
             self._jvm = jvm
             self._Path = jvm.org.apache.hadoop.fs.Path
             self._fs = self._Path(base).getFileSystem(
                 spark._jsc.hadoopConfiguration())
+
+    @property
+    def atomic_rename(self) -> bool:
+        return not self.remote or self.scheme in self.ATOMIC_RENAME_SCHEMES
+
+    def join(self, *parts: str) -> str:
+        """Path join that is safe for both URI and local paths (one
+        implementation — URI paths must not go through os.path.join
+        semantics on non-POSIX hosts)."""
+        if not self.remote:
+            return os.path.join(*parts)
+        return "/".join(p.rstrip("/") for p in parts)
 
     # -- files ------------------------------------------------------------
     def exists(self, path: str) -> bool:
@@ -65,15 +84,31 @@ class FsShim:
             stream.close()
 
     def write_text(self, path: str, text: str) -> None:
+        """Atomic metadata write: full content to a temp sibling, then
+        rename into place.  A crash mid-write can never leave a
+        TRUNCATED manifest/snapshot (which would permanently break the
+        resume paths these files serve) — the destination either holds
+        the old complete version or the new one.  On object stores
+        (non-atomic rename) the window degrades to old-or-new-or-
+        missing, still never truncated."""
+        tmp = path + ".tmp"
         if not self.remote:
-            with open(path, "w") as f:
+            with open(tmp, "w") as f:
                 f.write(text)
+            os.replace(tmp, path)
             return
-        stream = self._fs.create(self._Path(path), True)
+        stream = self._fs.create(self._Path(tmp), True)
         try:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
+        # Hadoop rename refuses an existing destination: drop it first
+        # (old-or-new-or-missing, never truncated)
+        dst = self._Path(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(self._Path(tmp), dst):
+            raise OSError(f"hadoop rename failed: {tmp} -> {path}")
 
     # -- directories ------------------------------------------------------
     def is_dir(self, path: str) -> bool:
@@ -103,6 +138,15 @@ class FsShim:
         if not self._fs.rename(self._Path(src), self._Path(dst)):
             raise OSError(f"hadoop rename failed: {src} -> {dst}")
 
+    def delete_file(self, path: str) -> None:
+        if not self.remote:
+            if os.path.exists(path):
+                os.remove(path)
+            return
+        p = self._Path(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, False)
+
     def delete_tree(self, path: str) -> None:
         if not self.remote:
             shutil.rmtree(path, ignore_errors=True)
@@ -121,9 +165,17 @@ class FsShim:
             self._fs.delete(st.getPath(), True)
 
     def bucket_bytes(self, base: str) -> dict[int, int]:
-        """{bucket: total parquet bytes} under ``run=<bucket>/`` — the
-        remote complement to the local parquet-footer fast path."""
+        """{bucket: total parquet bytes} under ``run=<bucket>/``."""
         sizes: dict[int, int] = {}
+        if not self.remote:
+            for name in os.listdir(base):
+                d = os.path.join(base, name)
+                if not (os.path.isdir(d) and name.startswith("run=")):
+                    continue
+                sizes[int(name.split("=", 1)[1])] = sum(
+                    os.path.getsize(os.path.join(d, f))
+                    for f in os.listdir(d) if f.endswith(".parquet"))
+            return sizes
         for st in self._fs.listStatus(self._Path(base)):
             name = st.getPath().getName()
             if not (st.isDirectory() and name.startswith("run=")):

@@ -95,12 +95,14 @@ def run_incremental_build(
     import json
 
     fs = FsShim(spark, out)
-    join = (lambda *p: "/".join(s.rstrip("/") for s in p)) if fs.remote \
-        else os.path.join
+    join = fs.join
     runs_dir = join(out, "runs")
     ckpt_dir = join(out, "_stream_checkpoint")
     fin_path = join(out, "_finalized.json")
-    if not fs.remote and os.path.isfile(docs_dir):
+    # staging is keyed on the INPUT's locality (a local single parquet
+    # file needs a directory for the file stream source), independent
+    # of where the output lives
+    if "://" not in docs_dir and os.path.isfile(docs_dir):
         # The file stream source requires a directory; stage a
         # symlink (sandbox convenience — real deployments stream a
         # landing directory of WARC-derived parquet drops).
@@ -136,16 +138,39 @@ def run_incremental_build(
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
     # incremental finalize: encode only runs newer than the last
-    # finalized snapshot, append their blocks to the index
+    # finalized snapshot, install their blocks as a new GENERATION of
+    # gen-prefixed parquet files inside the shard dirs.  Exactly-once
+    # without a transaction log: the snapshot records committed
+    # generation ids, and any gen-prefixed file whose id is NOT in the
+    # snapshot is an orphan of a crashed finalize (encode committed,
+    # snapshot not yet written — the window where a plain
+    # mode("append") would silently double every affected term's
+    # postings on the re-run) and is deleted before re-encoding.
     finalized: set[int] = set()
+    committed_gens: set[int] = set()
     if fs.exists(fin_path):
-        finalized = set(json.loads(fs.read_text(fin_path))["runs"])
+        fin = json.loads(fs.read_text(fin_path))
+        finalized = set(fin["runs"])
+        committed_gens = set(fin.get("gens", []))
+    index_dir = join(out, "index")
+    # crash cleanup: stale staging dirs + uncommitted generations
+    for name in fs.list_names(out):
+        if name.startswith("_finalize_stage_gen"):
+            fs.delete_tree(join(out, name))
+    if fs.is_dir(index_dir):
+        for shard_name in fs.list_names(index_dir):
+            if not shard_name.startswith("shard="):
+                continue
+            sd = join(index_dir, shard_name)
+            for f in fs.list_names(sd):
+                if (f.startswith("gen-") and f.endswith(".parquet")
+                        and int(f.split("-", 3)[1]) not in committed_gens):
+                    fs.delete_file(join(sd, f))
     all_runs = sorted(
         int(d.split("=", 1)[1]) for d in fs.list_names(runs_dir)
         if d.startswith("run=")
     )
     new_runs = [r for r in all_runs if r not in finalized]
-    index_dir = join(out, "index")
     if new_runs:
         runs = (
             spark.read.parquet(runs_dir)
@@ -153,8 +178,23 @@ def run_incremental_build(
             .select("doc_id", "term", "tf")
         )
         blocks_new = bc.encode_index(runs, cfg)
-        blocks_new.write.partitionBy("shard").mode("append").parquet(index_dir)
-        fs.write_text(fin_path, json.dumps({"runs": all_runs}))
+        gen = max(new_runs)
+        stage = join(out, f"_finalize_stage_gen{gen}")
+        blocks_new.write.partitionBy("shard").mode("overwrite").parquet(stage)
+        # install: atomic per-file renames into the live shard dirs,
+        # names carrying the generation id for the cleanup above
+        for shard_name in fs.list_names(stage):
+            if not shard_name.startswith("shard="):
+                continue
+            dst_dir = join(index_dir, shard_name)
+            fs.mkdirs(dst_dir)
+            for i, f in enumerate(sorted(fs.list_names(join(stage, shard_name)))):
+                if f.endswith(".parquet"):
+                    fs.rename(join(stage, shard_name, f),
+                              join(dst_dir, f"gen-{gen}-{i}-{f}"))
+        fs.delete_tree(stage)
+        fs.write_text(fin_path, json.dumps(
+            {"runs": all_runs, "gens": sorted(committed_gens | {gen})}))
     compact_stats = {}
     if compact_generations is not None:
         compact_stats = compact_index(spark, out, cfg,
@@ -212,9 +252,21 @@ def compact_index(
     """
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
+    scheme = out.split("://", 1)[0] if "://" in out else ""
+    if scheme and scheme not in FsShim.ATOMIC_RENAME_SCHEMES:
+        # the shard swap's crash-safety argument is built on atomic
+        # rename (POSIX, HDFS); object stores rename by copy+delete,
+        # where a crash mid-swap CAN silently lose a shard — there the
+        # table format's own rewrite action (e.g. Iceberg
+        # rewrite_data_files) is the correct tool, so fail loudly
+        # rather than degrade the guarantee (checked on the raw scheme
+        # BEFORE touching the Hadoop client)
+        raise NotImplementedError(
+            f"compact_index needs atomic rename; scheme {scheme!r} "
+            "is an object store — use the table format's rewrite "
+            "action (e.g. Iceberg rewrite_data_files) instead")
     fs = FsShim(spark, out)
-    join = (lambda *p: "/".join(s.rstrip("/") for s in p)) if fs.remote \
-        else os.path.join
+    join = fs.join
     index_dir = join(out, "index")
     old_dir = index_dir + ".compact_old"
     # Recovery from a crash inside a previous swap loop: any shard

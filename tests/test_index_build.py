@@ -273,3 +273,24 @@ def test_subset_build_equals_filtered_full(built, documents):
             .select("doc_id", "term", "tf").collect())
     )
     assert got == want and got
+
+
+def test_runs_crash_before_manifest_does_not_duplicate(built, tmp_path_factory):
+    """Exactly-once for the runs checkpoint: a crash after the parquet
+    job commits but before the manifest is written must not duplicate
+    postings on the re-run — dynamic partition overwrite rewrites the
+    same run=K partitions deterministically (the old mode('append')
+    doubled every bucket)."""
+    import os
+
+    postings, *_ = built
+    path = str(tmp_path_factory.mktemp("runs_crash") / "runs")
+    cfg = EngineConfig(run_partitions=4)
+    m1 = ib.write_runs(postings, path, cfg)
+    os.remove(os.path.join(path, "_manifest.json"))   # the crash window
+    m2 = ib.write_runs(postings, path, cfg)
+    assert m2["total_postings"] == m1["total_postings"]
+    back = ib.read_runs(postings.sparkSession, path)
+    assert back.count() == postings.count()
+    assert back.distinct().count() == back.count()
+    shutil.rmtree(path, ignore_errors=True)

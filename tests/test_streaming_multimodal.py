@@ -258,3 +258,40 @@ def test_incremental_build_over_uri_out(spark, documents, tmp_path):
     want = sorted(map(tuple, ib.build_lexicon(
         ib.build_postings(documents)).collect()))
     assert got == want
+
+
+def test_finalize_crash_before_snapshot_does_not_duplicate(
+        spark, documents, tmp_path):
+    """The exactly-once window: a crash AFTER a finalize's blocks are
+    installed but BEFORE the snapshot commits must not double the
+    postings on the re-run (the old mode('append') finalize did).  The
+    re-run's orphan cleanup removes the uncommitted generation and
+    re-encodes it."""
+    import json
+    import os
+
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "idx")
+    half_a = documents.filter(F.col("doc_id") % 2 == 0)
+    half_b = documents.filter(F.col("doc_id") % 2 == 1)
+    cfg = EngineConfig(segment_docs=1 << 20)
+    half_a.repartition(1).write.parquet(src)
+    si.run_incremental_build(spark, src, out, cfg)
+    fin_path = os.path.join(out, "_finalized.json")
+    with open(fin_path) as f:
+        fin1 = f.read()
+    half_b.repartition(1).write.mode("append").parquet(src)
+    s2 = si.run_incremental_build(spark, src, out, cfg)
+    assert s2["n_new_runs"] == 1
+    # simulate the crash: roll the snapshot back to before finalize #2
+    # (its generation files are installed but now uncommitted)
+    with open(fin_path, "w") as f:
+        f.write(fin1)
+    s3 = si.run_incremental_build(spark, src, out, cfg)
+    assert s3["n_new_runs"] == 1          # re-encoded, not skipped
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple, ib.build_lexicon(
+        ib.build_postings(documents)).collect()))
+    assert got == want                    # dfs NOT doubled
+    gens = json.loads(open(fin_path).read())["gens"]
+    assert len(gens) == len(set(gens))
