@@ -61,9 +61,8 @@ def _engine(spark, index_dir: str, k: int):
     from cs6913_web_search_engines_spark.engine import QueryEngine
     from cs6913_web_search_engines_spark.sources.fsutil import FsShim
 
-    stats = json.loads(
-        FsShim(spark, index_dir).read_text(
-            os.path.join(index_dir, "stats.json")))
+    fs = FsShim(spark, index_dir)
+    stats = json.loads(fs.read_text(fs.join(index_dir, "stats.json")))
     cfg = EngineConfig(
         top_k=k,
         n_term_shards=stats["config"]["n_term_shards"],

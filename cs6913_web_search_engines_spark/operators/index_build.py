@@ -226,8 +226,8 @@ def write_runs(
     # parquet write dominate).
     bucket_fn = f"hash60%{cfg.run_partitions}"
     done: set[int] = set()
-    if fs.exists(manifest_path):
-        prev = json.loads(fs.read_text(manifest_path))
+    prev = fs.read_json_or_none(manifest_path)
+    if prev is not None:
         if prev.get("bucket_fn") == bucket_fn:
             done = {b["bucket"] for b in prev.get("buckets", [])
                     if b.get("complete")}

@@ -51,9 +51,14 @@ class FsShim:
             self._fs = self._Path(base).getFileSystem(
                 spark._jsc.hadoopConfiguration())
 
-    @property
-    def atomic_rename(self) -> bool:
-        return not self.remote or self.scheme in self.ATOMIC_RENAME_SCHEMES
+    @staticmethod
+    def scheme_atomic(path: str) -> bool:
+        """Whether ``path``'s filesystem renames atomically — decided
+        on the raw string so callers can refuse object stores BEFORE
+        constructing a Hadoop client for them."""
+        if "://" not in path:
+            return True
+        return path.split("://", 1)[0] in FsShim.ATOMIC_RENAME_SCHEMES
 
     def join(self, *parts: str) -> str:
         """Path join that is safe for both URI and local paths (one
@@ -83,18 +88,43 @@ class FsShim:
         finally:
             stream.close()
 
+    def read_json_or_none(self, path: str):
+        """Best-effort JSON read for recovery metadata: the main file,
+        else its ``.tmp`` sibling (the remote ``write_text`` has a
+        delete→rename window where only the fully-written tmp exists —
+        falling back to it turns that window from an O(index) redo
+        into a no-op), else None.  Unparseable content (a tmp cut off
+        mid-write) also returns None: treat-as-absent is the safe
+        direction for every caller (idempotent re-work, never
+        duplication)."""
+        import json
+
+        for p in (path, path + ".tmp"):
+            if self.exists(p):
+                try:
+                    return json.loads(self.read_text(p))
+                except ValueError:
+                    continue
+        return None
+
     def write_text(self, path: str, text: str) -> None:
         """Atomic metadata write: full content to a temp sibling, then
         rename into place.  A crash mid-write can never leave a
         TRUNCATED manifest/snapshot (which would permanently break the
         resume paths these files serve) — the destination either holds
-        the old complete version or the new one.  On object stores
-        (non-atomic rename) the window degrades to old-or-new-or-
-        missing, still never truncated."""
+        the old complete version or the new one.  The remote branch
+        has a delete→rename window where the destination is briefly
+        missing; :meth:`read_json_or_none` bridges it via the tmp."""
         tmp = path + ".tmp"
         if not self.remote:
             with open(tmp, "w") as f:
                 f.write(text)
+                f.flush()
+                # without the fsync the rename can become durable
+                # before the data blocks, and a power loss leaves a
+                # zero-length file — the very truncation this method
+                # exists to rule out
+                os.fsync(f.fileno())
             os.replace(tmp, path)
             return
         stream = self._fs.create(self._Path(tmp), True)
@@ -165,17 +195,15 @@ class FsShim:
             self._fs.delete(st.getPath(), True)
 
     def bucket_bytes(self, base: str) -> dict[int, int]:
-        """{bucket: total parquet bytes} under ``run=<bucket>/``."""
-        sizes: dict[int, int] = {}
+        """{bucket: total parquet bytes} under ``run=<bucket>/`` —
+        remote-only: local callers get rows AND bytes in one pass from
+        the parquet footers (index_build._bucket_counts)."""
         if not self.remote:
-            for name in os.listdir(base):
-                d = os.path.join(base, name)
-                if not (os.path.isdir(d) and name.startswith("run=")):
-                    continue
-                sizes[int(name.split("=", 1)[1])] = sum(
-                    os.path.getsize(os.path.join(d, f))
-                    for f in os.listdir(d) if f.endswith(".parquet"))
-            return sizes
+            raise ValueError(
+                "bucket_bytes is the remote complement of the local "
+                "parquet-footer fast path — use index_build."
+                "_bucket_counts for local paths")
+        sizes: dict[int, int] = {}
         for st in self._fs.listStatus(self._Path(base)):
             name = st.getPath().getName()
             if not (st.isDirectory() and name.startswith("run=")):

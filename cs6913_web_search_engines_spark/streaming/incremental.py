@@ -73,6 +73,24 @@ def stream_postings(spark: SparkSession, docs_dir: str,
     return ib.build_postings(docs)
 
 
+def _restore_compact_stash(fs: FsShim, join, index_dir: str) -> None:
+    """Restore shards stashed aside by a crashed :func:`compact_index`
+    swap (stash dst→old_dir, install src→dst; a kill between the two
+    renames leaves the live shard only in the stash).  Must run before
+    ANY writer touches ``index_dir`` — a finalize that recreates a
+    missing shard dir first would make the exists-check below see a
+    live destination and the stash (the only complete copy) would be
+    discarded.  A stash whose destination exists means the install
+    committed; only then is dropping it correct."""
+    old_dir = index_dir + ".compact_old"
+    if fs.is_dir(old_dir):
+        for name in fs.list_names(old_dir):
+            dst = join(index_dir, name)
+            if not fs.exists(dst):
+                fs.rename(join(old_dir, name), dst)
+        fs.delete_tree(old_dir)
+
+
 def run_incremental_build(
     spark: SparkSession,
     docs_dir: str,
@@ -105,9 +123,17 @@ def run_incremental_build(
     if "://" not in docs_dir and os.path.isfile(docs_dir):
         # The file stream source requires a directory; stage a
         # symlink (sandbox convenience — real deployments stream a
-        # landing directory of WARC-derived parquet drops).
-        src = os.path.join(out, "_src")
-        os.makedirs(src, exist_ok=True)
+        # landing directory of WARC-derived parquet drops).  The
+        # staging dir must be LOCAL — under `out` only when out is a
+        # local path (os.makedirs on a URI string would create a
+        # literal ./file:/... directory under the CWD).
+        if "://" in out:
+            import tempfile
+
+            src = tempfile.mkdtemp(prefix="spark_docs_src_")
+        else:
+            src = os.path.join(out, "_src")
+            os.makedirs(src, exist_ok=True)
         link = os.path.join(src, os.path.basename(docs_dir))
         if not os.path.exists(link):
             os.symlink(docs_dir, link)
@@ -148,11 +174,16 @@ def run_incremental_build(
     # postings on the re-run) and is deleted before re-encoding.
     finalized: set[int] = set()
     committed_gens: set[int] = set()
-    if fs.exists(fin_path):
-        fin = json.loads(fs.read_text(fin_path))
+    fin = fs.read_json_or_none(fin_path)
+    if fin is not None:
         finalized = set(fin["runs"])
         committed_gens = set(fin.get("gens", []))
     index_dir = join(out, "index")
+    # FIRST restore any shard stashed by a crashed compact_index swap:
+    # installing a new generation below would recreate a missing shard
+    # dir, making the stash recovery's exists-check see a live
+    # destination and discard the stashed postings
+    _restore_compact_stash(fs, join, index_dir)
     # crash cleanup: stale staging dirs + uncommitted generations
     for name in fs.list_names(out):
         if name.startswith("_finalize_stage_gen"):
@@ -252,8 +283,7 @@ def compact_index(
     """
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
-    scheme = out.split("://", 1)[0] if "://" in out else ""
-    if scheme and scheme not in FsShim.ATOMIC_RENAME_SCHEMES:
+    if not FsShim.scheme_atomic(out):
         # the shard swap's crash-safety argument is built on atomic
         # rename (POSIX, HDFS); object stores rename by copy+delete,
         # where a crash mid-swap CAN silently lose a shard — there the
@@ -262,21 +292,16 @@ def compact_index(
         # rather than degrade the guarantee (checked on the raw scheme
         # BEFORE touching the Hadoop client)
         raise NotImplementedError(
-            f"compact_index needs atomic rename; scheme {scheme!r} "
-            "is an object store — use the table format's rewrite "
-            "action (e.g. Iceberg rewrite_data_files) instead")
+            f"compact_index needs atomic rename; {out!r} is on an "
+            "object store — use the table format's rewrite action "
+            "(e.g. Iceberg rewrite_data_files) instead")
     fs = FsShim(spark, out)
     join = fs.join
     index_dir = join(out, "index")
     old_dir = index_dir + ".compact_old"
     # Recovery from a crash inside a previous swap loop: any shard
     # stashed aside but never replaced is restored before we read.
-    if fs.is_dir(old_dir):
-        for name in fs.list_names(old_dir):
-            dst = join(index_dir, name)
-            if not fs.exists(dst):
-                fs.rename(join(old_dir, name), dst)
-        fs.delete_tree(old_dir)
+    _restore_compact_stash(fs, join, index_dir)
     blocks = spark.read.parquet(index_dir)
     frag = (
         blocks.groupBy("term", "seg")

@@ -295,3 +295,38 @@ def test_finalize_crash_before_snapshot_does_not_duplicate(
     assert got == want                    # dfs NOT doubled
     gens = json.loads(open(fin_path).read())["gens"]
     assert len(gens) == len(set(gens))
+
+
+def test_finalize_restores_compact_stash_before_installing(
+        spark, documents, tmp_path):
+    """A compact_index crash can leave a shard only in the stash dir;
+    if the NEXT writer is a finalize (not a compaction), it must
+    restore the stash before installing new generations — otherwise it
+    recreates the shard dir, the later recovery sees a live
+    destination, and the stashed postings are silently discarded."""
+    import os
+    import shutil
+
+    cfg = EngineConfig(segment_docs=1 << 20)
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "idx")
+    half_a = documents.filter(F.col("doc_id") % 2 == 0)
+    half_b = documents.filter(F.col("doc_id") % 2 == 1)
+    half_a.repartition(1).write.parquet(src)
+    si.run_incremental_build(spark, src, out, cfg)
+    index_dir = os.path.join(out, "index")
+    victim = sorted(n for n in os.listdir(index_dir)
+                    if n.startswith("shard="))[0]
+    old_dir = index_dir + ".compact_old"
+    os.makedirs(old_dir, exist_ok=True)
+    shutil.move(os.path.join(index_dir, victim),
+                os.path.join(old_dir, victim))
+    # the next drain+finalize would recreate the victim shard dir for
+    # its new generation — the restore must run first
+    half_b.repartition(1).write.mode("append").parquet(src)
+    si.run_incremental_build(spark, src, out, cfg)
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple, ib.build_lexicon(
+        ib.build_postings(documents)).collect()))
+    assert got == want                    # stashed postings not lost
+    assert not os.path.isdir(old_dir)
