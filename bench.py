@@ -95,21 +95,39 @@ def main() -> None:
                   checkpoint_runs=False, fused=True)
     shutil.rmtree(OUT + "_warm", ignore_errors=True)
 
+    # Build phases run best-of-2: the host is a shared VM and a single
+    # neighbor-steal spike mid-build has been observed to double a
+    # phase (31.8 s vs 19.1 s total on identical code minutes apart);
+    # best-of-R is the same one-sided-noise methodology
+    # bench_scaling.py documents, and the builds are deterministic.
+    def _best_of(n: int, fn):
+        best = None
+        for _ in range(n):
+            t0 = time.time()
+            r = fn()
+            dt = time.time() - t0
+            if best is None or dt < best[0]:
+                best = (dt, r)
+        return best
+
     # durable build: runs checkpoint + staged encode (resumable path)
-    shutil.rmtree(OUT, ignore_errors=True)
-    t0 = time.time()
-    stats = ib.build_full(spark, docs, OUT, cfg,
-                          lineage={"source": SF_DIR, "replicate": REPLICATE})
-    t_build = time.time() - t0
+    def _staged():
+        shutil.rmtree(OUT, ignore_errors=True)
+        return ib.build_full(spark, docs, OUT, cfg,
+                             lineage={"source": SF_DIR,
+                                      "replicate": REPLICATE})
+
+    t_build, stats = _best_of(2, _staged)
     n_postings = stats["n_postings"]
 
     # fused build: single-pass tokenize+encode (throughput path,
     # byte-identical output — tests/test_index_build.py)
-    shutil.rmtree(OUT + "_fused", ignore_errors=True)
-    t0 = time.time()
-    ib.build_full(spark, docs, OUT + "_fused", cfg,
-                  checkpoint_runs=False, fused=True)
-    t_fused = time.time() - t0
+    def _fused():
+        shutil.rmtree(OUT + "_fused", ignore_errors=True)
+        return ib.build_full(spark, docs, OUT + "_fused", cfg,
+                             checkpoint_runs=False, fused=True)
+
+    t_fused, _ = _best_of(2, _fused)
 
     # Preload (reference main.cpp:99-108 analog): lexicon + doc_stats
     # cached once; queries then use the block-max pruned fast path.
