@@ -25,12 +25,18 @@ appending a duplicate.  Together with the streaming checkpoint
 runs — the streaming half of the north rule's "resumable from
 per-partition checkpoints".
 
-Finalization is *incremental*: ``_finalized.json`` records which runs
-are already encoded; a drain encodes only newer runs and APPENDS
-their block rows to the index (block rows decode independently —
-absolute chunk-leading docIDs, SURVEY §2.9 — so a multi-generation
-index answers queries identically), then re-aggregates the lexicon
-from block metadata (a scan of the compact index, no decode).
+Finalization is *incremental* and exactly-once: ``_finalized.json``
+records which runs are already encoded AND which generation ids are
+committed; a drain encodes only newer runs and installs their block
+rows as gen-tagged parquet files inside the shard dirs (block rows
+decode independently — absolute chunk-leading docIDs, SURVEY §2.9 —
+so a multi-generation index answers queries identically), then
+re-aggregates the lexicon from block metadata (a scan of the compact
+index, no decode).  A crash between the install and the snapshot
+leaves orphan gen files that the next drain deletes and re-encodes —
+never the silent posting duplication a plain append would produce.
+One finalizer at a time is assumed (the streaming checkpoint already
+implies a single writer per ``out``).
 
 Watermark/stateful operators are intentionally absent: postings are
 append-only facts (no late-data semantics); dedup happens at merge
