@@ -203,6 +203,12 @@ def run_incremental_build(
                 if (f.startswith("gen-") and f.endswith(".parquet")
                         and int(f.split("-", 3)[1]) not in committed_gens):
                     fs.delete_file(join(sd, f))
+    if not fs.is_dir(runs_dir):
+        # zero-input drain: the stream terminated without a single
+        # micro-batch, so there is nothing to finalize (and possibly
+        # no index yet either)
+        return {"n_batches": 0, "n_new_runs": 0, "n_postings": 0,
+                "out": out}
     all_runs = sorted(
         int(d.split("=", 1)[1]) for d in fs.list_names(runs_dir)
         if d.startswith("run=")

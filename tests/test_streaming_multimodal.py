@@ -330,3 +330,16 @@ def test_finalize_restores_compact_stash_before_installing(
         ib.build_postings(documents)).collect()))
     assert got == want                    # stashed postings not lost
     assert not os.path.isdir(old_dir)
+
+
+def test_incremental_build_empty_input_is_a_noop(spark, tmp_path):
+    """A drain over an input directory with no parquet files must
+    return empty stats, not crash on the never-created runs dir."""
+    import os
+
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    out = str(tmp_path / "idx")
+    stats = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert stats == {"n_batches": 0, "n_new_runs": 0, "n_postings": 0,
+                     "out": out}
