@@ -51,6 +51,10 @@ LOCAL_EXEC_MAX_POSTINGS = 5_000_000
 # the segmented/exhaustive plans answer faster.
 PRUNED_MIN_AVG_CANDIDATES = 5_000_000
 
+# Per-term df memo cap: ~50 B/entry → ~50 MB of driver heap; past it
+# the memo clears wholesale (same policy as the postings cache).
+DF_MEMO_MAX_TERMS = 1_000_000
+
 
 class QueryEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
@@ -108,8 +112,14 @@ class QueryEngine:
         if len(pdf) == 0:
             return None
         max_id = int(pdf["doc_id"].max())
-        if max_id + 1 > 4 * max(len(pdf), 1) or max_id >= 1 << 31:
-            return None  # sparse id space — dense array would balloon
+        # dense-slot budget = the SAME ceiling that gates norms_in_ram
+        # (int32 slots, 256 MB at 64 M): the old 4×-doc-count sparsity
+        # allowance let a 25%-dense 64 M-doc id space allocate 4× the
+        # documented broadcast budget
+        if (max_id + 1 > 4 * max(len(pdf), 1)
+                or max_id + 1 > NORMS_IN_RAM_MAX_DOCS
+                or max_id >= 1 << 31):
+            return None  # sparse/huge id space — dense array would balloon
         arr = np.zeros(max_id + 1, dtype=np.int32)
         arr[pdf["doc_id"].to_numpy(np.int64)] = pdf[len_col].to_numpy(np.int32)
         return self.spark.sparkContext.broadcast(arr)
@@ -171,22 +181,23 @@ class QueryEngine:
                 dl = np.zeros(ids.size, dtype=np.float64)
                 m = ids < lens.size
                 dl[m] = lens[ids[m]]
+                # dl == 0 ⇒ id missing from the norms array; dropping
+                # matches the distributed tier's inner doc_stats join
+                # (a zero length would minimize K and inflate scores)
+                ok = dl > 0
+                if not ok.all():
+                    ids, tfs, dl = ids[ok], tfs[ok], dl[ok]
                 K = k1 * ((1.0 - b) + b * dl / avg)
                 ids_all.append(ids)
                 contrib_all.append(idf * (k1 + 1.0) * tfs / (K + tfs))
             if not ids_all:
                 continue
-            cat = np.concatenate(ids_all)
-            uids, inv = np.unique(cat, return_inverse=True)
-            scores = np.bincount(inv, weights=np.concatenate(contrib_all))
-            if conjunctive:
-                keep = np.bincount(inv) == len(terms)
-                uids, scores = uids[keep], scores[keep]
-            if uids.size == 0:
-                continue
-            order = np.lexsort((uids, -scores))[: self.cfg.top_k]
-            for rank, i in enumerate(order, 1):
-                out.append((qid, int(uids[i]), float(scores[i]), rank))
+            uids, scores = query_exec.exact_topk_numpy(
+                np.concatenate(ids_all), np.concatenate(contrib_all),
+                len(terms), conjunctive, self.cfg.top_k)
+            for rank in range(uids.size):
+                out.append((qid, int(uids[rank]), float(scores[rank]),
+                            rank + 1))
         import pandas as pd
 
         pdf = pd.DataFrame(out, columns=["query_id", "doc_id", "score", "rank"])
@@ -217,6 +228,11 @@ class QueryEngine:
                         for t in tokenizer.split_query(q, mode)})
         unknown = [t for t in terms if t not in self._df_memo]
         if unknown:
+            if len(self._df_memo) + len(unknown) > DF_MEMO_MAX_TERMS:
+                # bounded like the postings cache: a long-lived server
+                # fed ever-new terms (typos, URLs) must not grow the
+                # driver-side memo without limit
+                self._df_memo.clear()
             probed = {r["term"]: r["df"] for r in
                       self.lexicon.filter(F.col("term").isin(unknown))
                       .select("term", "df").collect()}
@@ -229,7 +245,16 @@ class QueryEngine:
         if local and self.len_lookup is not None and pruned is not True:
             return self._search_local(queries, dfs, conjunctive, mode)
         if pruned is None:
-            avg_candidates = sum(dfs.values()) / max(len(queries), 1)
+            # per-query candidate volume, counting a shared head term
+            # once PER QUERY — the distinct-term sum undercounts a
+            # batch sharing one head term by the batch-size factor and
+            # would route exactly the pruned tier's target regime to
+            # the exhaustive kernel (same per-occurrence-vs-distinct
+            # trap as pruning._estimate_meta_rows)
+            total = sum(dfs.get(t, 0)
+                        for q in queries.values()
+                        for t in tokenizer.split_query(q, mode))
+            avg_candidates = total / max(len(queries), 1)
             pruned = avg_candidates >= PRUNED_MIN_AVG_CANDIDATES
         if not pruned and self.len_lookup is not None:
             # distributed batch tier: segment-at-a-time kernel (decode

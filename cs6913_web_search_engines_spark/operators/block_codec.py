@@ -86,7 +86,7 @@ def _encode_group(term: str, seg: int, doc_ids: np.ndarray,
     for ci in range(starts.size):
         sz = int(gap_sizes[ci] + tf_sizes[ci]) + 16
         if ci > a and block_bytes + sz > cfg.block_bytes:
-            rows.append(_block_row(term, seg, block_id, a, ci, doc_ids,
+            rows.append(_chunkrange_row(term, seg, block_id, a, ci, doc_ids,
                                    starts, last_docs, counts, max_tfs,
                                    gap_buf, gap_offs, tf_buf, tf_offs))
             block_id += 1
@@ -94,7 +94,7 @@ def _encode_group(term: str, seg: int, doc_ids: np.ndarray,
             block_bytes = 0
         block_bytes += sz
     if starts.size:
-        rows.append(_block_row(term, seg, block_id, a, starts.size, doc_ids,
+        rows.append(_chunkrange_row(term, seg, block_id, a, starts.size, doc_ids,
                                starts, last_docs, counts, max_tfs,
                                gap_buf, gap_offs, tf_buf, tf_offs))
     return rows
@@ -197,24 +197,6 @@ def _chunkrange_row(term, seg, block_id, a, b, all_docs, chunk_starts,
     }
 
 
-def _block_row(term, seg, block_id, a, b, doc_ids, starts, last_docs,
-               counts, max_tfs, gap_buf, gap_offs, tf_buf, tf_offs) -> dict:
-    return {
-        "term": term,
-        "seg": seg,
-        "block_id": block_id,
-        "n_postings": int(counts[a:b].sum()),
-        "first_doc_id": int(doc_ids[starts[a]]),
-        "last_doc_id": int(last_docs[b - 1]),
-        "max_tf": int(max_tfs[a:b].max()),
-        "chunk_last_doc_ids": last_docs[a:b].tolist(),
-        "chunk_counts": counts[a:b].astype(np.int32).tolist(),
-        "chunk_max_tfs": max_tfs[a:b].astype(np.int32).tolist(),
-        "doc_gaps": gap_buf[gap_offs[a]:gap_offs[b]],
-        "tfs": tf_buf[tf_offs[a]:tf_offs[b]],
-    }
-
-
 def _encode_stream(cfg: EngineConfig):
     """mapInPandas kernel with cross-batch group carry-over."""
 
@@ -283,7 +265,9 @@ def encode_index(postings: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     sort — the distributed k-way merge — then a streaming encode pass.
     """
     with_seg = postings.withColumn(
-        "seg", (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long")
+        # integer `div`, not double division: a float64 quotient can
+        # round across a segment boundary for doc_id >= 2^53
+        "seg", F.expr(f"doc_id div {cfg.segment_docs}")
     )
     arranged = (
         with_seg.repartition(cfg.run_partitions, "term", "seg")
@@ -362,6 +346,14 @@ def _fused_stream(cfg: EngineConfig):
                 )
                 d["kind"] = 1
                 frames.append(d)
+            # cast PRESENT int columns to nullable Int64 BEFORE concat:
+            # letting concat NaN-fill them detours values through
+            # float64, which silently corrupts the low bits of 64-bit
+            # ids (doc_id, first/last_doc_id) above 2^53
+            for fr in frames:
+                for c in int_cols:
+                    if c in fr.columns:
+                        fr[c] = fr[c].astype("Int64")
             if frames:
                 out = pd.concat(frames, ignore_index=True)
             else:
@@ -414,7 +406,8 @@ def encode_fused(documents: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame
     shard) and doc-stats rows (kind=1).  One doc-shuffle, one Arrow
     crossing; cache and split with :func:`fused_blocks` /
     :func:`fused_doc_stats`."""
-    seg = (F.col("doc_id") / F.lit(cfg.segment_docs)).cast("long")
+    # integer `div` (see encode_index): exact at any 64-bit doc_id
+    seg = F.expr(f"doc_id div {cfg.segment_docs}")
     # RANGE partition on seg, not hash: segment cardinality is only
     # n_docs/segment_docs, and hashing few distinct keys over
     # run_partitions leaves Poisson holes (empty partitions next to
@@ -500,6 +493,14 @@ def _decode_stream(cfg: EngineConfig, extra_cols: tuple[str, ...] = (),
                 m = idx < lens.size
                 dl[m] = lens[idx[m]]
                 data["doc_len"] = dl
+                # dl == 0 ⇒ the id has no page-table entry (a doc with
+                # postings always has length ≥ 1): drop the posting —
+                # doc_len = 0 minimizes K and would inflate the BM25
+                # score — mirroring the inner doc_stats join the
+                # lookup replaces
+                ok = dl > 0
+                if not ok.all():
+                    data = {c: v[ok] for c, v in data.items()}
             yield pd.DataFrame(data)
 
     return fn

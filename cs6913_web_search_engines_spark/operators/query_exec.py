@@ -23,6 +23,8 @@ only in the decode UDF when reading the compressed index.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +32,26 @@ from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
 from cs6913_web_search_engines_spark.functions import tokenizer
 from cs6913_web_search_engines_spark.functions.bm25 import bm25_score
 from cs6913_web_search_engines_spark.operators import block_codec
+
+
+def exact_topk_numpy(cat: "np.ndarray", weights: "np.ndarray",
+                     n_terms: int, conjunctive: bool, k: int):
+    """The rank-critical exact top-k over concatenated per-term
+    (doc_id, contribution) arrays: sum per doc, conjunctive = doc
+    matched every query term, order by (score desc, doc_id asc), cut
+    at k.  ONE implementation shared by the driver-local tier
+    (engine._search_local) and the segment kernel — a tie-break or
+    conjunctive fix applied to one copy but not the other would break
+    the cross-tier rank-identity the tests pin."""
+    uids, inv = np.unique(cat, return_inverse=True)
+    scores = np.bincount(inv, weights=weights)
+    if conjunctive:
+        keep = np.bincount(inv) == n_terms
+        uids, scores = uids[keep], scores[keep]
+    if uids.size == 0:
+        return uids, scores
+    order = np.lexsort((uids, -scores))[:k]
+    return uids[order], scores[order]
 
 
 def queries_to_terms(spark: SparkSession, queries: dict[str, str],
@@ -250,25 +272,42 @@ def segment_topk_candidates(
     def kernel(batches):
         lens = len_lookup.value
         t2q, idfs, nts = t2q_b.value, idf_b.value, nt_b.value
-        out_q, out_d, out_s = [], [], []
+        # per-segment top-k rows accumulate as numpy slices (no
+        # per-element boxing) and drain every ~1M rows: holding a
+        # whole partition's output (segs/partition × queries × k rows)
+        # in boxed Python lists blew up worker memory at big batches
+        out_q: list = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        nrows = 0
         cur_seg = None
         acc: dict[str, list] = {}   # qid -> [(ids, contribs), ...]
 
+        def drain() -> pd.DataFrame:
+            nonlocal out_q, out_d, out_s, nrows
+            df = pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype=object),
+                "doc_id": (np.concatenate(out_d) if out_d
+                           else np.empty(0, np.int64)).astype(np.int64),
+                "score": (np.concatenate(out_s) if out_s
+                          else np.empty(0, np.float64)),
+            })
+            out_q, out_d, out_s, nrows = [], [], [], 0
+            return df
+
         def flush():
+            nonlocal nrows
             for qid, pairs in acc.items():
-                cat = np.concatenate([p[0] for p in pairs])
-                uids, inv = np.unique(cat, return_inverse=True)
-                scores = np.bincount(
-                    inv, weights=np.concatenate([p[1] for p in pairs]))
-                if conjunctive:
-                    keep = np.bincount(inv) == nts[qid]
-                    uids, scores = uids[keep], scores[keep]
+                uids, scores = exact_topk_numpy(
+                    np.concatenate([p[0] for p in pairs]),
+                    np.concatenate([p[1] for p in pairs]),
+                    nts[qid], conjunctive, top_k)
                 if uids.size == 0:
                     continue
-                order = np.lexsort((uids, -scores))[:top_k]
-                out_q.extend([qid] * order.size)
-                out_d.extend(int(x) for x in uids[order])
-                out_s.extend(float(x) for x in scores[order])
+                out_q.extend([qid] * uids.size)
+                out_d.append(uids)
+                out_s.append(scores)
+                nrows += uids.size
             acc.clear()
 
         for pdf in batches:
@@ -281,12 +320,22 @@ def segment_topk_candidates(
                 if seg != cur_seg:
                     flush()           # rows sorted by seg → one
                     cur_seg = seg     # segment resident at a time
+                    if nrows >= 1 << 20:
+                        yield drain()
                 n = int(n)
                 ids = varbyte.delta_decode(varbyte.decode(bytes(gaps), n), chunk)
                 tf = varbyte.decode(bytes(tfs), n).astype(np.float64)
                 dl = np.zeros(ids.size)
                 m = ids < lens.size
                 dl[m] = lens[ids[m]]
+                # A doc with postings always has length ≥ 1, so dl == 0
+                # means the id is missing from the norms array (index /
+                # page-table desync).  dl = 0 MINIMIZES K and would
+                # silently MAXIMIZE the score — drop instead, matching
+                # the doc_stats-join tier's inner-join semantics.
+                ok = dl > 0
+                if not ok.all():
+                    ids, tf, dl = ids[ok], tf[ok], dl[ok]
                 K = k1 * ((1.0 - b) + b * dl / avg)
                 contrib = idfs[term] * (k1 + 1.0) * tf / (K + tf)
                 if tagged:
@@ -295,11 +344,7 @@ def segment_topk_candidates(
                     for qid in t2q.get(term, ()):
                         acc.setdefault(qid, []).append((ids, contrib))
         flush()
-        yield pd.DataFrame({
-            "query_id": pd.Series(out_q, dtype=object),
-            "doc_id": pd.Series(out_d, dtype="int64"),
-            "score": pd.Series(out_s, dtype="float64"),
-        })
+        yield drain()
 
     nparts = num_partitions or max(sc.defaultParallelism * 2, 8)
     cols = (["query_id"] if tagged else []) + [
