@@ -100,3 +100,28 @@ def test_attach_content(spark, built, documents):
     out = qe.attach_content(res, documents).collect()
     assert all("," not in r["content"] for r in out)
     assert len(out) == res.count()
+
+
+def test_exact_topk_numpy_semantics():
+    """The shared rank-critical helper: score ties break by doc_id
+    ascending, conjunctive keeps only docs matching every term, k
+    cuts after ordering."""
+    import numpy as np
+
+    from cs6913_web_search_engines_spark.operators.query_exec import (
+        exact_topk_numpy,
+    )
+
+    # docs 2 and 3 tie at 2.0 → doc 2 first; doc 1 leads at 5.0
+    ids = np.array([3, 1, 2, 3], dtype=np.int64)
+    w = np.array([1.0, 5.0, 2.0, 1.0])
+    u, s = exact_topk_numpy(ids, w, n_terms=1, conjunctive=False, k=3)
+    assert u.tolist() == [1, 2, 3] and s.tolist() == [5.0, 2.0, 2.0]
+    u, s = exact_topk_numpy(ids, w, 1, False, 2)
+    assert u.tolist() == [1, 2]
+    # conjunctive: only doc 3 appears twice (= n_terms)
+    u, s = exact_topk_numpy(ids, w, 2, True, 10)
+    assert u.tolist() == [3] and s.tolist() == [2.0]
+    # empty in, empty out
+    u, s = exact_topk_numpy(np.empty(0, np.int64), np.empty(0), 1, False, 5)
+    assert u.size == 0
