@@ -27,11 +27,31 @@ targets 10^12-doc scale:
 
 Every hash is md5-derived (functions/hashing.py) so the DuckDB oracle
 reproduces values bit-for-bit.
+
+Scale notes (the honest limits of pair-output LSH):
+
+* **Identical-content clusters**: m copies of one page share every
+  band key, so any pair-emitting LSH inherently outputs m(m-1)/2
+  rows — that is the OUTPUT size, not an implementation artifact.
+  The single hot (band, key) reducer is NOT a straggler: AQE skew-join
+  handling (``spark.sql.adaptive.skewJoin.enabled``, on by default)
+  splits a skewed partition — even one key — into sub-tasks and
+  replicates the matching side.  The quadratic output itself is
+  bounded by pipeline order: run :func:`exact_duplicates` first and
+  near-dup only canonical survivors (the standard corpus-dedup
+  pipeline), which collapses identical-content mass before banding.
+* **SimHash banding width**: pigeonhole completeness at radius r
+  forces r+1 bands of ≤ ``64 // (r+1)`` bits, so the bucket space
+  caps at 2^width per band (65,536 at r=3; 64 at r=10).  Corpora with
+  N ≫ 2^width need Manku-style multi-block probing (join keys built
+  from COMBINATIONS of blocks, sorted-table probes) — out of scope
+  here; prefer MinHash-LSH (band keys are 4×60-bit hashes, effectively
+  unbounded cardinality) or radius ≤ 3 at the 10^9+ regime.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from cs6913_web_search_engines_spark.functions import hashing
 
@@ -65,23 +85,38 @@ def simhash_band_bounds(max_hamming: int) -> list[tuple[int, int]]:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+# Cap on ids listed per duplicate group: web corpora have giant
+# exact-dup groups (empty pages, '404' boilerplate) — an unbounded
+# collect_list would hold a 10^8-element aggregation buffer and emit a
+# multi-GB string cell for exactly the groups the operator exists to
+# find.  Counts stay exact over the FULL group; only the id sample is
+# capped.
+DUP_IDS_MAX = 100
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """(content_md5, n_dups, canonical_doc_id, dup_doc_ids) for every
     content group with >1 member; canonical = min doc_id (keep-first
-    policy, deterministic).  ``dup_doc_ids`` is a comma-joined string
-    (sorted) — scalar columns keep the row hashable for the driver's
-    canonicalizer and any downstream sink."""
+    policy, deterministic).  ``dup_doc_ids`` lists the first
+    :data:`DUP_IDS_MAX` ids (sorted, comma-joined) — a bounded sample;
+    ``n_dups`` is the exact full-group count.  The window ranking is
+    sort-based (spills), so no aggregation buffer ever holds a whole
+    giant group."""
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
     return (
         documents.select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("content_md5")
         )
+        .withColumn("rn", F.row_number().over(w))
         .groupBy("content_md5")
         .agg(
             F.count("*").cast("int").alias("n_dups"),
             F.min("doc_id").alias("canonical_doc_id"),
             F.array_join(
                 F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("rn") <= DUP_IDS_MAX, F.col("doc_id"))
+                    )),
                     lambda x: x.cast("string"),
                 ),
                 ",",
@@ -93,12 +128,15 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 def exact_duplicates_sql(docs: str = "documents") -> str:
     return f"""
-SELECT md5(text) AS content_md5,
+SELECT content_md5,
        CAST(COUNT(*) AS INT) AS n_dups,
        MIN(doc_id) AS canonical_doc_id,
-       array_to_string(list_sort(list(doc_id)), ',') AS dup_doc_ids
-FROM {docs}
-GROUP BY md5(text)
+       array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= {DUP_IDS_MAX})),
+                       ',') AS dup_doc_ids
+FROM (SELECT doc_id, md5(text) AS content_md5,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM {docs})
+GROUP BY content_md5
 HAVING COUNT(*) > 1
 """
 
@@ -472,8 +510,12 @@ def simhash_pairs(postings: DataFrame, max_hamming: int = 3) -> DataFrame:
             "doc_b",
             F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair, so filtering BEFORE
+        # the distinct shuffle is identical output — and band-collision
+        # pairs beyond the radius (typically the large majority) never
+        # enter the dedup exchange
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -396,6 +396,14 @@ def neardup_pairs(
     C ∝ √N sizing this implies, ``method`` defaults to the broadcast
     centroid kernel past :data:`LITERAL_CENTROID_MAX` cells (see
     :func:`ivf_assign`).
+
+    Dense-cell caveat: centroids are untrained (first-N vectors), so
+    one embedding-space hotspot can overload a cell; the resulting
+    single-key join skew is split by AQE skew-join handling
+    (sub-tasks + replicated matching side), but the O(cell²) pair
+    work itself is irreducible under pair semantics — size C to the
+    corpus (C ∝ √N) and dedup exact copies first, the same pipeline
+    note as operators/dedup.py.
     """
     method = _resolve_method(n_centroids, method)
     if method == "broadcast":

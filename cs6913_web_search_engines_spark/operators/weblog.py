@@ -218,11 +218,25 @@ FROM ({pages_rel})
 # root-relative, and dir-relative (no ../ traversal).
 _SCHEME = "regexp_extract(url, '^([a-z]+)://', 1)"
 _BASE_DIR = f"regexp_replace({_path_of('url')}, '[^/]*$', '')"
+# dir-relative resolution needs a '/' even when the base URL has no
+# path at all ('https://a.nz' + 'about.html' must NOT yield
+# 'https://a.nzabout.html' — urljoin gives 'https://a.nz/about.html')
+_BASE_DIR_SAFE = f"CASE WHEN {_BASE_DIR} = '' THEN '/' ELSE {_BASE_DIR} END"
+# urljoin fidelity (shared verbatim with the DuckDB oracle twin):
+# protocol-relative '//host/path' inherits only the scheme, and
+# foreign-scheme hrefs (mailto:, javascript:, ftp:) pass through
+# unchanged — their host then fails the .nz validity check and the
+# crawler drops them, exactly as the reference's urljoin + filter do.
+# Without these branches '//cdn.other.nz/x' was credited to the BASE
+# host and 'mailto:...' became a crawlable same-host URL.
 _RESOLVE = (
     "CASE WHEN raw_link LIKE 'http://%' OR raw_link LIKE 'https://%' THEN raw_link "
+    f"WHEN raw_link LIKE '//%' THEN concat({_SCHEME}, ':', raw_link) "
+    "WHEN regexp_extract(raw_link, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) <> '' "
+    "THEN raw_link "
     f"WHEN raw_link LIKE '/%' THEN concat({_SCHEME}, '://', {_HOST}, raw_link) "
     "WHEN raw_link = '' THEN url "
-    f"ELSE concat({_SCHEME}, '://', {_HOST}, {_BASE_DIR}, raw_link) END"
+    f"ELSE concat({_SCHEME}, '://', {_HOST}, {_BASE_DIR_SAFE}, raw_link) END"
 )
 _HREF_ALL = "regexp_extract_all({html_str}, 'href=\"([^\"]*)\"', 1)"
 
@@ -259,7 +273,22 @@ def link_graph(pages: DataFrame) -> DataFrame:
     )
 
 
-def domain_in_degree(pages: DataFrame) -> DataFrame:
+def _per_url_rollup(pages: DataFrame) -> DataFrame:
+    """(link_min, domain, xd) — ONE groupBy over the valid link graph,
+    shared by :func:`domain_in_degree` and :func:`frontier_new_urls`.
+    The HTML decode + href explode feeding it is the dominant scan at
+    corpus scale; deriving both consumers from this identical subtree
+    lets Spark reuse the exchange instead of decoding the corpus twice
+    per :func:`frontier_order` call."""
+    lg = link_graph(pages).filter(F.col("is_valid"))
+    return lg.groupBy("link_min").agg(
+        F.min("link_domain").alias("domain"),
+        F.max(F.col("cross_domain").cast("int")).alias("xd"),
+    )
+
+
+def domain_in_degree(pages: DataFrame,
+                     per_url: DataFrame | None = None) -> DataFrame:
     """(domain, in_degree) — REAL in-degree from the link graph.
 
     Batch analog of the crawler's enqueue-time accounting
@@ -268,11 +297,8 @@ def domain_in_degree(pages: DataFrame) -> DataFrame:
     cross-domain page links to it (same-domain links never increment
     in_degree; the reference's thread-order dependence is replaced by
     the order-free 'any cross-domain parent' rule)."""
-    lg = link_graph(pages).filter(F.col("is_valid"))
-    per_url = lg.groupBy("link_min").agg(
-        F.min("link_domain").alias("domain"),
-        F.max(F.col("cross_domain").cast("int")).alias("xd"),
-    )
+    if per_url is None:
+        per_url = _per_url_rollup(pages)
     return (
         per_url.filter(F.col("xd") == 1)
         .groupBy("domain")
@@ -280,16 +306,16 @@ def domain_in_degree(pages: DataFrame) -> DataFrame:
     )
 
 
-def frontier_new_urls(pages: DataFrame) -> DataFrame:
+def frontier_new_urls(pages: DataFrame,
+                      per_url: DataFrame | None = None) -> DataFrame:
     """(url_min, domain) — valid candidate links not yet crawled:
     ``links LEFT ANTI JOIN seen ON url_min`` (J9,
     web_crawler.py:728-741).  Both sides shuffle once on url_min."""
-    lg = link_graph(pages).filter(F.col("is_valid"))
+    if per_url is None:
+        per_url = _per_url_rollup(pages)
     seen = pages.select(F.expr(_MIN).alias("url_min")).distinct()
     return (
-        lg.select(F.col("link_min").alias("url_min"), "link_domain")
-        .groupBy("url_min")
-        .agg(F.min("link_domain").alias("domain"))
+        per_url.select(F.col("link_min").alias("url_min"), "domain")
         .join(seen, "url_min", "left_anti")
     )
 
@@ -306,7 +332,15 @@ def frontier_order(pages: DataFrame, budget: int = 1000) -> DataFrame:
     link-graph in-degree, second-last count from crawled state).
     ``orderBy().limit(budget)`` is a distributed TakeOrdered — no
     global sort materializes at 10^12 candidates."""
-    cand = frontier_new_urls(pages)
+    # one link-graph rollup feeds both the candidate set and the
+    # in-degree.  Column pruning specializes the two aggregates (one
+    # consumer drops xd), so exchange reuse does NOT fire on its own —
+    # materialize the rollup once (lazy localCheckpoint: first action
+    # computes it, the second branch reads it back).  Storage is
+    # O(distinct candidate URLs) post-aggregation rows vs decoding +
+    # href-exploding the whole corpus twice.
+    per_url = _per_url_rollup(pages).localCheckpoint(eager=False)
+    cand = frontier_new_urls(pages, per_url=per_url)
     crawled = (
         pages.select(F.expr(_HOST).alias("domain"))
         .groupBy("domain")
@@ -321,7 +355,8 @@ def frontier_order(pages: DataFrame, budget: int = 1000) -> DataFrame:
         cand.join(crawled, "domain", "left")
         .fillna(0, subset=["enqueue_count"])
         .withColumn("second_last", F.expr(_sl_sql("domain")))
-        .join(domain_in_degree(pages).withColumnRenamed("in_degree", "indeg"),
+        .join(domain_in_degree(pages, per_url=per_url)
+              .withColumnRenamed("in_degree", "indeg"),
               "domain", "left")
         .fillna(0, subset=["indeg"])
         .withColumnRenamed("indeg", "in_degree")

@@ -91,3 +91,36 @@ def test_thread_stats_partition_the_crawl(spark, documents):
     total_ok = pages.filter(F.col("status") == 200).count()
     assert sum(r["n_ok"] for r in rows.values()) == total_ok
     assert all(r["n_ok"] <= r["n_urls"] for r in rows.values())
+
+
+def test_resolve_matches_urljoin_on_edge_hrefs(spark):
+    """The shared _RESOLVE expression must reproduce urllib
+    urljoin for the href shapes real HTML contains: protocol-relative
+    (scheme-only inheritance), foreign schemes (pass through — the
+    validity filter then drops them, like the reference crawler), and
+    dir-relative links on a path-less base URL."""
+    from urllib.parse import urljoin
+
+    cases = [
+        ("http://a.example.nz/p/q.html", "//cdn.other.nz/x"),
+        ("http://a.example.nz/p/q.html", "mailto:x@b.nz"),
+        ("http://a.example.nz/p/q.html", "javascript:void(0)"),
+        ("https://a.example.nz", "about.html"),
+        ("http://a.example.nz/p/q.html", "r.html"),
+        ("http://a.example.nz/p/q.html", "/root.html"),
+        ("http://a.example.nz/p/q.html", "https://b.example.nz/z"),
+    ]
+    html = lambda links: "<html>" + "".join(
+        f'<a href="{l}">x</a>' for l in links) + "</html>"
+    pages = spark.createDataFrame(
+        [(u, html([l]).encode()) for u, l in cases], "url string, html binary")
+    got = {(r["url"], r["link"]) for r in weblog.extract_links(pages).collect()}
+    want = {(u, urljoin(u, l)) for u, l in cases}
+    assert got == want
+    # foreign-scheme links must be invalid (reference drops non-http)
+    lg = {r["link"]: r["is_valid"] for r in weblog.link_graph(pages).collect()}
+    assert lg["mailto:x@b.nz"] is False
+    assert lg["javascript:void(0)"] is False
+    # protocol-relative now resolves to the TRUE host (a .nz domain →
+    # valid, and credited to cdn.other.nz, not the base host)
+    assert lg["http://cdn.other.nz/x"] is True
