@@ -57,8 +57,13 @@ def bm25_rerank(
     n_vectors: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, bm25, sim, rank) — BM25 top-N → cosine
-    rerank → top-k (sim DESC, doc_id ASC)."""
-    qt = qe.queries_to_terms(spark, queries)
+    rerank → top-k (sim DESC, doc_id ASC).
+
+    Query tokenization follows ``cfg.length_norm`` like every other
+    query tier (an hw2 config would otherwise score hw2 lengths over
+    hw3-split terms — internally inconsistent and oracle-divergent)."""
+    mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
+    qt = qe.queries_to_terms(spark, queries, mode)
     cands = qe.score_query_set(
         postings, qt, lexicon, doc_stats, stats, replace(cfg, top_k=topn)
     ).select("query_id", "doc_id", F.col("score").alias("bm25"))
@@ -93,7 +98,10 @@ def bm25_rerank_sql(
     vals = ", ".join(
         f"('{qid}', '{t}')" for qid in sorted(query_terms) for t in query_terms[qid]
     )
-    score = bm25_sql("p.tf", "l.df", "d.distinct_terms",
+    # length column follows cfg like the Spark side (hw2 normalizes by
+    # byte length, hw3 by distinct-term count)
+    len_col = "d.distinct_terms" if cfg.length_norm == "hw3" else "d.byte_len"
+    score = bm25_sql("p.tf", "l.df", len_col,
                      "s.total_docs", "s.avg_len", cfg)
     qv_vec = hashing.hash60_sql("query_id")
     return f"""

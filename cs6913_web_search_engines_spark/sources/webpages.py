@@ -60,22 +60,35 @@ _STATUS_SQL = (
 # (web_crawler.py:586-597,846-853); deterministic in doc_id.
 _THREAD_SQL = "concat('Thread-', CAST(doc_id % 10 + 1 AS STRING))"
 _HTML_SQL = (
+    # coalesce: Spark's concat is NULL-absorbing while DuckDB's skips
+    # NULL arguments — a NULL text would produce html = NULL in the
+    # engine but a full template in the oracle; '' is the one value
+    # both agree on
     "concat('<html><head><title>doc ', cast(doc_id as string),"
-    "'</title></head><body><p>', text, '</p>',"
+    "'</title></head><body><p>', coalesce(text, ''), '</p>',"
     f"'<a href=\"', {_LINK_REL_SQL}, '\">r</a>',"
     f"'<a href=\"', {_LINK_ABS_SQL}, '\">a</a>',"
     f"'<a href=\"', {_LINK_HUB_SQL}, '\">h</a>',"
     "'</body></html>')"
 )
-_EXTRACT_RE = "<p>(.*)</p>"
+# (?s): '.' must match newlines (same inline flag in Java regex and
+# DuckDB RE2) — without it any page whose body text spans lines
+# extracts to '' and silently indexes as an empty document
+_EXTRACT_RE = "(?s)<p>(.*)</p>"
 
 
 def synthesize(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, ...) → web-pages table."""
     return documents.select(
         F.expr(_URL_SQL).alias("url"),
+        # days + minutes split keeps every component inside int32 up
+        # to ~5.9e12 docs (a bare mins=doc_id cast wraps at 2^31 —
+        # inside the target corpus scale — while the DuckDB twin's
+        # to_minutes(BIGINT) would not, silently diverging)
         (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("warc_ts"),
+         + F.make_interval(
+             days=F.expr("doc_id div 1440").cast("int"),
+             mins=F.expr("doc_id % 1440").cast("int"))).alias("warc_ts"),
         F.encode(F.expr(_HTML_SQL), "UTF-8").alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -130,10 +143,20 @@ def mint_doc_ids_scalable(pages: DataFrame, n_buckets: int = 4096) -> DataFrame:
     prefix-sum of bucket offsets, then doc_id = bucket_offset +
     rank-within-bucket.  Each pass is fully parallel; the only global
     structure is the (tiny) bucket-offset map.
+
+    The bucketed table is MATERIALIZED once (localCheckpoint) before
+    the count pass: RangePartitioner re-samples its boundaries per
+    action (the reservoir seed incorporates the RDD id), so without
+    pinning, the count job and the rank job could disagree about which
+    bucket a boundary-adjacent url belongs to — offset + rank would
+    then mint colliding/holey doc_ids.  Exhaustive sampling hides this
+    at fixture scale; the 10^12-row regime this function exists for is
+    exactly where sampling kicks in.
     """
     bucketed = pages.repartitionByRange(n_buckets, "url")
     part = F.spark_partition_id()
-    with_pid = bucketed.withColumn("_pid", part)
+    with_pid = (bucketed.withColumn("_pid", part)
+                .localCheckpoint(eager=True))
     counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
     offsets, acc = {}, 0
     for row in counts:

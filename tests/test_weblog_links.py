@@ -124,3 +124,36 @@ def test_resolve_matches_urljoin_on_edge_hrefs(spark):
     # protocol-relative now resolves to the TRUE host (a .nz domain →
     # valid, and credited to cdn.other.nz, not the base host)
     assert lg["http://cdn.other.nz/x"] is True
+
+
+def test_extract_text_handles_multiline_bodies(spark):
+    """(?s) extraction: a body spanning lines must extract
+    byte-identically, not as '' (Java regex '.' excludes newlines —
+    the synthetic corpus never exercised one)."""
+    from cs6913_web_search_engines_spark.sources import webpages
+
+    body = "line one\nline two\nline three"
+    pages = spark.createDataFrame(
+        [("http://a.example.nz/x",
+          f"<html><body><p>{body}</p></body></html>".encode())],
+        "url string, html binary")
+    got = webpages.extract_text(pages).collect()[0]["extracted"]
+    assert got == body
+
+
+def test_scalable_minting_dense_and_repeatable(spark, documents):
+    """mint_doc_ids_scalable: ids dense 0..N-1 by url order, and
+    IDENTICAL across repeated actions on the same DataFrame (the
+    bucketed table is pinned, so range-boundary re-sampling between
+    the count pass and the rank pass cannot shift assignments)."""
+    from cs6913_web_search_engines_spark.sources import webpages
+
+    pages = webpages.synthesize(documents).select("url")
+    minted = webpages.mint_doc_ids_scalable(pages, n_buckets=8)
+    a = sorted((r["url"], r["doc_id"]) for r in minted.collect())
+    b = sorted((r["url"], r["doc_id"]) for r in minted.collect())
+    assert a == b                                 # action-stable
+    ids = [d for _, d in a]
+    assert sorted(ids) == list(range(len(ids)))   # dense 0..N-1
+    by_url = [d for _, d in sorted(a)]
+    assert by_url == sorted(by_url)               # url order
