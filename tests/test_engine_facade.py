@@ -179,3 +179,34 @@ def test_engine_over_uri_index(spark, documents, engine, tmp_path_factory):
     got = eng_uri.search(QUERIES).collect()
     want = engine.search(QUERIES).collect()
     assert got and _key(got) == _key(want)
+
+
+def test_missing_norms_entries_are_dropped_not_inflated(spark, built_index):
+    """Index/page-table desync window: a doc_id absent from the norms
+    array must be EXCLUDED from results (matching the doc_stats
+    inner-join tier), not scored at length 0 — zero length minimizes
+    the BM25 K term and would rank the desynced doc ABOVE every honest
+    one.  Pinned on both the driver-local tier and the distributed
+    segment kernel."""
+    import numpy as np
+
+    cfg = EngineConfig(segment_docs=256)
+    eng = QueryEngine(spark, built_index, cfg)
+    q = {"q": "data fast join"}
+    baseline = eng.search(q, local=True).collect()
+    assert baseline
+    victim = baseline[0]["doc_id"]          # top doc loses its length
+    arr = eng.len_lookup.value.copy()
+    arr[victim] = 0
+    eng.len_lookup = spark.sparkContext.broadcast(arr)
+    eng._postings_cache.clear()
+    eng._postings_cache_n = 0
+    local = eng.search(q, local=True).collect()
+    dist = eng.search(q, local=False).collect()
+    for rows in (local, dist):
+        ids = [r["doc_id"] for r in rows]
+        assert victim not in ids            # dropped, not rank-1
+        assert ids                          # others still returned
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"],
+                               round(r["score"], 9)) for r in rows)
+    assert key(local) == key(dist)          # tiers agree on the drop
