@@ -255,6 +255,48 @@ def _q_bm25_pruned_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
 
 
+def _q_bm25_pruned_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive block-max pruned path at the driver gate: the
+    sum_all segment bound + segment-granularity intersection skip
+    (pruning.py — the zigzag-nextGEQ analog, QueryProcessor.cpp:
+    589-634) against the PLAIN conjunctive BM25 SQL oracle, so green
+    == rank-identity of the conjunctive pruned traversal."""
+    from cs6913_web_search_engines_spark.engine import QueryEngine
+    from cs6913_web_search_engines_spark.operators import pruning
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="pruned_conj_idx_")
+    cfg = EngineConfig(segment_docs=256)
+    ib.build_full(spark, docs, out, cfg, checkpoint_runs=False, fused=True)
+    eng = QueryEngine(spark, out, cfg)
+    res = pruning.search_pruned(
+        spark, eng.index_path, eng.lexicon, eng.doc_stats, eng.stats,
+        {"q0": FLAGSHIP_QUERY}, cfg, conjunctive=True, seed_segs=1,
+        blocks=eng.blocks, len_lookup=eng.len_lookup,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _q_trec_metrics_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 file tail — qrels and queries read from the reference's
+    headerless TSV formats (trec_eval.py:7-20, query_bm25.py:53-62)
+    instead of in-memory synthesis: the fixture TSVs are written from
+    the same deterministic qrels/query set, so the oracle is identical
+    to ``trec_metrics`` while the fixed-schema csv ingestion path is
+    what actually feeds the metrics."""
+    docs, postings, doc_stats, stats, lexicon = _built(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="trec_tsv_")
+    em.write_qrels_tsv(em.synth_qrels(docs, list(BATCH_QUERIES)),
+                       f"{d}/qrels")
+    with open(f"{d}/queries.tsv", "w") as f:
+        for qid in sorted(BATCH_QUERIES):
+            f.write(f"{qid}\t{BATCH_QUERIES[qid]}\n")
+    queries = em.queries_dict(em.read_queries_tsv(spark, f"{d}/queries.tsv"))
+    qt = qe.queries_to_terms(spark, queries)
+    run = qe.score_query_set(postings, qt, lexicon, doc_stats, stats, CFG)
+    return em.trec_metrics(run, em.read_qrels_tsv(spark, f"{d}/qrels"))
+
+
 def _q_doc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/F4/J5 — content retrieval join with the reference's
     comma-scrub projection (SearchResult.cpp:47)."""
@@ -439,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hw2": _q_bm25_hw2,
         "bm25_pruned": _q_bm25_pruned,
         "bm25_pruned_fused": _q_bm25_pruned_fused,
+        "bm25_pruned_conj": _q_bm25_pruned_conj,
         "doc_content": _q_doc_content,
         "postings_subset": _q_postings_subset,
         "posting_runs": _q_posting_runs,
@@ -465,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rerank + evaluation ---
         "bm25_rerank": _q_bm25_rerank,
         "trec_metrics": _q_trec_metrics,
+        "trec_metrics_file": _q_trec_metrics_file,
         "trec_run": _q_trec_run,
         "trec_summary": _q_trec_summary,
         # --- crawl analytics ---
@@ -517,6 +561,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_pruned": _bm25_oracle(terms, False, CFG.top_k),
         # round-3 default shape: driver planner + fused tagged kernel
         "bm25_pruned_fused": _bm25_oracle(terms, False, CFG.top_k),
+        # conjunctive pruned vs the plain conjunctive exhaustive SQL
+        "bm25_pruned_conj": _bm25_oracle(terms, True, CFG.top_k),
         "doc_content": f"""
 WITH ranked AS ({_bm25_oracle(terms, False, CFG.top_k)})
 SELECT r.doc_id, r.rank, replace(d.text, ',', ' ') AS content
@@ -549,6 +595,9 @@ FROM postings GROUP BY 1
         "bm25_rerank": rerank.bm25_rerank_sql(
             _POSTINGS_CTE, rerank_terms, CFG, topn=50, topk=10),
         "trec_metrics": _trec_oracle(),
+        # same metric math; the Spark side is fed through the TSV round
+        # trip, so green == the csv ingestion path is lossless
+        "trec_metrics_file": _trec_oracle(),
         "trec_run": em.trec_run_sql(_BATCH_RANKED, CFG.top_k),
         "trec_summary": em.trec_summary_sql(_trec_oracle()),
         "url_features": weblog.url_features_sql(_PAGES_REL),

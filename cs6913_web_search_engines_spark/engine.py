@@ -69,9 +69,16 @@ class QueryEngine:
         # FsShim: stats.json may live beside a URI-hosted index
         # (hdfs://, file://) as well as a local one.  Callers that
         # already loaded it (the CLI) pass it in to skip a second
-        # remote round trip.
-        self.stats = stats if stats is not None else json.loads(
-            fs.read_text(fs.join(index_dir, "stats.json")))
+        # remote round trip.  read_json_or_none (not bare read_text):
+        # the remote write_text has a delete→rename window where only
+        # stats.json.tmp exists — a crash there must not brick engine
+        # init when the complete tmp is sitting right beside it.
+        if stats is None:
+            stats = fs.read_json_or_none(fs.join(index_dir, "stats.json"))
+            if stats is None:
+                raise FileNotFoundError(
+                    f"no readable stats.json (or .tmp) under {index_dir!r}")
+        self.stats = stats
         if broadcast_doc_stats is None:
             # a broadcast doc_stats is a driver collect + per-executor
             # copy — a win only while the page table is genuinely

@@ -51,6 +51,52 @@ WHERE {hashing.hash60_sql(key)} % {QREL_MOD} = 0
 """
 
 
+# --- file-based qrels / query sources (S12) --------------------------------
+#
+# The reference reads both from headerless TSVs: qrels as
+# (query_id, placeholder, doc_id, relevance) — trec_eval.py:7-20 —
+# and queries as (query_id, query_text) — query_bm25.py:53-62.
+# Fixed-schema spark.read.csv keeps the scan schema-pruned and
+# distributed (a million-query file is just another DataFrame source).
+
+QRELS_TSV_SCHEMA = "query_id string, placeholder string, doc_id long, rel int"
+QUERIES_TSV_SCHEMA = "query_id string, text string"
+
+
+def read_qrels_tsv(spark, path: str) -> DataFrame:
+    """TREC qrels TSV → (query_id, doc_id, rel).  Drop-in replacement
+    for :func:`synth_qrels` (reference ``trec_eval.py:7-20``)."""
+    return (
+        spark.read.csv(path, sep="\t", schema=QRELS_TSV_SCHEMA)
+        .select("query_id", "doc_id", "rel")
+    )
+
+
+def write_qrels_tsv(qrels: DataFrame, path: str) -> None:
+    """(query_id, doc_id, rel) → the reference's 4-column qrels TSV
+    (placeholder column fixed to '0', as in MS MARCO qrels)."""
+    (
+        qrels.select(
+            "query_id", F.lit("0").alias("placeholder"),
+            F.col("doc_id").cast("string"), F.col("rel").cast("string"),
+        )
+        .write.mode("overwrite").option("sep", "\t").csv(path)
+    )
+
+
+def read_queries_tsv(spark, path: str) -> DataFrame:
+    """Query TSV → (query_id, text) (reference ``query_bm25.py:53-62``)."""
+    return spark.read.csv(path, sep="\t", schema=QUERIES_TSV_SCHEMA)
+
+
+def queries_dict(query_df: DataFrame) -> dict[str, str]:
+    """Collect a (query_id, text) DataFrame to the driver-side dict the
+    batch search APIs take.  Queries are driver-resident by nature
+    (the reference iterates the TSV row-by-row); at extreme query
+    counts feed the DataFrame itself to queries_to_terms instead."""
+    return {r["query_id"]: r["text"] or "" for r in query_df.collect()}
+
+
 def trec_metrics(run: DataFrame, qrels: DataFrame,
                  ks: tuple[int, ...] = (10, 100)) -> DataFrame:
     """run(query_id, doc_id, rank) × qrels → per-query

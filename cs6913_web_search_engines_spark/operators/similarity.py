@@ -234,10 +234,18 @@ def _with_cells_kernel(
     def kernel(batches):
         ids, matn = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                # np.asarray([]) is 1-D and the axis=1 norm would raise
+                # (same guard as multimodal._feature_batches)
+                continue
             emb = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            # a zero vector has no direction: clamp so its sims are a
+            # deterministic 0.0 row (argmax → smallest centroid id)
+            # instead of NaN-driven nondeterministic assignment
+            np.maximum(norms, np.finfo(np.float64).tiny, out=norms)
             sims = (emb / norms) @ matn.T  # (batch, C)
             if k is None:
                 # first occurrence of max = smallest centroid id

@@ -292,6 +292,14 @@ def compact_index(
     needs.  Object stores (s3a) rename by copy+delete; a long-lived
     index there should prefer the table format's own rewrite action
     (e.g. Iceberg rewrite_data_files) over directory swaps.
+
+    Concurrency contract: single WRITER (implied by the streaming
+    checkpoint) *and* quiesced READERS — the swap is crash-safe but
+    not reader-atomic: between the stash rename and the install
+    rename a concurrent QueryEngine listing the index dir would
+    silently miss that shard's postings.  Serve queries from a
+    snapshot taken before compaction (or a versioned index dir +
+    pointer file) and re-open engines after it returns.
     """
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
