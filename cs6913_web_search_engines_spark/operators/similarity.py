@@ -114,6 +114,60 @@ WHERE rank <= {k}
 # --- IVF-Flat --------------------------------------------------------------
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    sample_size: int = 262_144,
+    iters: int = 8,
+) -> DataFrame:
+    """Spherical k-means on a bounded deterministic sample →
+    (vec_id 0..C-1, embedding array<float>) centroids, drop-in as the
+    ``centroids`` argument of :func:`ivf_assign` / :func:`ivf_topk` /
+    :func:`neardup_pairs`.
+
+    Fixes the untrained first-N-vectors seeding's dense-cell hotspot
+    (one embedding-space cluster overloading a cell): Lloyd's
+    iterations move centroids toward the data's actual modes, so cell
+    populations even out.  The training pass is the standard
+    sampled-Lloyd's coarse-quantizer recipe (what faiss does for IVF
+    training): one distributed TakeOrdered pulls ``sample_size``
+    hash-ordered rows (deterministic, order-free), the few-hundred×dim
+    float64 iterations run in numpy on the driver, and the result
+    ships back as a tiny DataFrame — centroids are a model parameter,
+    same regime as :func:`_centroid_literals`.  At 10^12 rows the
+    sample is still one TakeOrdered scan; only ``sample_size`` ever
+    reaches the driver.
+    """
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        # hash order = deterministic pseudo-random sample, independent
+        # of partitioning and of vec_id locality
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                        np.finfo(np.float64).tiny)
+    c = min(int(n_centroids), xn.shape[0])
+    cent = xn[:c].copy()    # seeds: first C in hash order
+    for _ in range(max(1, int(iters))):
+        assign = np.argmax(xn @ cent.T, axis=1)
+        for j in range(c):
+            members = xn[assign == j]
+            if members.size == 0:
+                continue    # empty cell keeps its previous centroid
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            if n > 0:
+                cent[j] = m / n
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in cent[i]]) for i in range(c)],
+        "vec_id long, embedding array<float>",
+    )
+
+
 def _centroid_literals(embeddings: DataFrame, n_centroids: int) -> list:
     """Collect the (tiny) centroid set to the driver — centroids are a
     model parameter (16–65k rows), like faiss IVF's coarse quantizer;
@@ -259,7 +313,8 @@ def _with_cells_kernel(
 
 
 def ivf_assign(
-    embeddings: DataFrame, n_centroids: int, method: str | None = None
+    embeddings: DataFrame, n_centroids: int, method: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, centroid_id) — each vector assigned to its max-cosine
     centroid (ties → smallest centroid_id).  Map-only: one scan, zero
@@ -269,13 +324,18 @@ def ivf_assign(
     ``method``: ``"literal"`` embeds centroids as fold expressions
     (SQL-oracle-exact, plan size O(C·dim)); ``"broadcast"`` ships them
     as a numpy matrix into an Arrow kernel (plan size O(1)).  Default:
-    literal up to :data:`LITERAL_CENTROID_MAX`, broadcast above."""
+    literal up to :data:`LITERAL_CENTROID_MAX`, broadcast above.
+
+    ``centroids``: optional trained centroid DataFrame (vec_id,
+    embedding) — e.g. :func:`train_centroids`; default is the
+    untrained first-``n_centroids`` corpus vectors."""
     method = _resolve_method(n_centroids, method)
+    src = centroids if centroids is not None else embeddings
     if method == "broadcast":
-        return _with_cells_kernel(embeddings, n_centroids).select(
-            "vec_id", "centroid_id"
-        )
-    expr = assign_centroid_expr(_centroid_literals(embeddings, n_centroids))
+        return _with_cells_kernel(
+            embeddings, n_centroids, centroid_src=src
+        ).select("vec_id", "centroid_id")
+    expr = assign_centroid_expr(_centroid_literals(src, n_centroids))
     return embeddings.select(
         "vec_id", F.expr(expr).cast("long").alias("centroid_id")
     )
@@ -288,9 +348,11 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     method: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, sim, rank) — IVF-Flat ANN: each query scores
     only vectors assigned to its ``nprobe`` nearest centroids.
+    ``centroids``: optional trained set (:func:`train_centroids`).
 
     Both cell assignment and probe selection are map-only projections
     (no shuffle); the only joins are broadcast(tiny probe list) ×
@@ -301,9 +363,10 @@ def ivf_topk(
     quantizer, broadcast numpy matrix + Arrow kernel above
     :data:`LITERAL_CENTROID_MAX`."""
     method = _resolve_method(n_centroids, method)
+    cent_src = centroids if centroids is not None else embeddings
     if method == "broadcast":
         bc = embeddings.sparkSession.sparkContext.broadcast(
-            _centroid_matrix(embeddings, n_centroids)
+            _centroid_matrix(cent_src, n_centroids)
         )
         q = _with_cells_kernel(
             embeddings.filter(F.col("vec_id") < n_queries),
@@ -316,7 +379,7 @@ def ivf_topk(
         probes = q
         members = _with_cells_kernel(embeddings, n_centroids, bc_centroids=bc)
     else:
-        cents = _centroid_literals(embeddings, n_centroids)
+        cents = _centroid_literals(cent_src, n_centroids)
         q = embeddings.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
@@ -390,9 +453,12 @@ def neardup_pairs(
     threshold: float = 0.9,
     n_centroids: int = 16,
     method: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, sim) — same-IVF-cell pairs with cosine ≥
     threshold (vec_a < vec_b).
+    ``centroids``: optional trained set (:func:`train_centroids`) —
+    the fix for the dense-cell caveat below.
 
     This is the scale path: candidate pairs come from an **equi-join
     on centroid_id** (cells from :func:`ivf_assign`), never an
@@ -414,12 +480,13 @@ def neardup_pairs(
     note as operators/dedup.py.
     """
     method = _resolve_method(n_centroids, method)
+    cent_src = centroids if centroids is not None else embeddings
     if method == "broadcast":
-        withcell = _with_cells_kernel(embeddings, n_centroids).select(
-            "vec_id", "embedding", "centroid_id"
-        )
+        withcell = _with_cells_kernel(
+            embeddings, n_centroids, centroid_src=cent_src
+        ).select("vec_id", "embedding", "centroid_id")
     else:
-        cents = _centroid_literals(embeddings, n_centroids)
+        cents = _centroid_literals(cent_src, n_centroids)
         withcell = embeddings.select(
             "vec_id", "embedding",
             F.expr(assign_centroid_expr(cents)).cast("long").alias("centroid_id"),

@@ -31,8 +31,13 @@ committed; a drain encodes only newer runs and installs their block
 rows as gen-tagged parquet files inside the shard dirs (block rows
 decode independently — absolute chunk-leading docIDs, SURVEY §2.9 —
 so a multi-generation index answers queries identically), then
-re-aggregates the lexicon from block metadata (a scan of the compact
-index, no decode).  A crash between the install and the snapshot
+merges the NEW generation's per-term (df, max_tf) deltas into the
+existing lexicon — sum/max are associative, so the merge equals the
+full re-agg at O(new postings) per drain instead of O(index terms);
+the full metadata re-agg survives as the repair path (first build,
+pre-merge snapshots, or a crash between the generation commit and
+the lexicon update, tracked by ``lex_gens`` in the snapshot).  A
+crash between the install and the snapshot
 leaves orphan gen files that the next drain deletes and re-encodes —
 never the silent posting duplication a plain append would produce.
 One finalizer at a time is assumed (the streaming checkpoint already
@@ -180,11 +185,29 @@ def run_incremental_build(
     # postings on the re-run) and is deleted before re-encoding.
     finalized: set[int] = set()
     committed_gens: set[int] = set()
+    lex_gens: set[int] | None = None
     fin = fs.read_json_or_none(fin_path)
     if fin is not None:
         finalized = set(fin["runs"])
         committed_gens = set(fin.get("gens", []))
+        # generations the on-disk lexicon reflects; absent (pre-round-4
+        # snapshot or crash between the gen commit and the lexicon
+        # update) means "unknown" → the full re-agg repair path below
+        if "lex_gens" in fin:
+            lex_gens = set(fin["lex_gens"])
     index_dir = join(out, "index")
+    lex_dir = join(out, "lexicon")
+    # lexicon-swap crash recovery: a kill between the two swap renames
+    # leaves the live lexicon only in .old — restore it (its content
+    # matches the snapshot's lex_gens, so the incremental path stays
+    # available); a leftover .old BESIDE a live lexicon is stale
+    lex_old = lex_dir + ".old"
+    fs.delete_tree(join(out, "_lexicon_stage"))
+    if fs.is_dir(lex_old):
+        if not fs.is_dir(lex_dir):
+            fs.rename(lex_old, lex_dir)
+        else:
+            fs.delete_tree(lex_old)
     # FIRST restore any shard stashed by a crashed compact_index swap:
     # installing a new generation below would recreate a missing shard
     # dir, making the stash recovery's exists-check see a live
@@ -203,6 +226,10 @@ def run_incremental_build(
                 if (f.startswith("gen-") and f.endswith(".parquet")
                         and int(f.split("-", 3)[1]) not in committed_gens):
                     fs.delete_file(join(sd, f))
+                    # a rolled-back generation may or may not have been
+                    # merged into the lexicon by the crashed finalize —
+                    # unknowable here, so force the full re-agg repair
+                    lex_gens = None
     if not fs.is_dir(runs_dir):
         # zero-input drain: the stream terminated without a single
         # micro-batch, so there is nothing to finalize (and possibly
@@ -214,6 +241,7 @@ def run_incremental_build(
         if d.startswith("run=")
     )
     new_runs = [r for r in all_runs if r not in finalized]
+    delta = None
     if new_runs:
         runs = (
             spark.read.parquet(runs_dir)
@@ -224,6 +252,19 @@ def run_incremental_build(
         gen = max(new_runs)
         stage = join(out, f"_finalize_stage_gen{gen}")
         blocks_new.write.partitionBy("shard").mode("overwrite").parquet(stage)
+        # this generation's per-term lexicon delta, aggregated from the
+        # STAGED metadata (payload columns pruned) and pinned eagerly —
+        # the stage files are consumed by the install renames below.
+        # (df, max_tf) are associative (sum / max), so merging the
+        # delta into the existing lexicon equals the full re-agg —
+        # O(new postings) per drain instead of O(index terms).
+        delta = (
+            spark.read.parquet(stage)
+            .groupBy("term")
+            .agg(F.sum("n_postings").alias("df_new"),
+                 F.max("max_tf").alias("max_tf_new"))
+            .localCheckpoint(eager=True)
+        )
         # install: atomic per-file renames into the live shard dirs,
         # names carrying the generation id for the cleanup above
         for shard_name in fs.list_names(stage):
@@ -236,24 +277,68 @@ def run_incremental_build(
                     fs.rename(join(stage, shard_name, f),
                               join(dst_dir, f"gen-{gen}-{i}-{f}"))
         fs.delete_tree(stage)
+        # snapshot #1 commits the generation; lex_gens stays at what
+        # the on-disk lexicon actually reflects (a crash before the
+        # lexicon update below then routes the next drain to repair)
         fs.write_text(fin_path, json.dumps(
-            {"runs": all_runs, "gens": sorted(committed_gens | {gen})}))
+            {"runs": all_runs,
+             "gens": sorted(committed_gens | {gen}),
+             **({} if lex_gens is None
+                else {"lex_gens": sorted(lex_gens)})}))
+        committed_gens = committed_gens | {gen}
     compact_stats = {}
     if compact_generations is not None:
+        # compaction re-encodes the same postings: per-term Σn_postings
+        # and max(max_tf) are invariant, so the lexicon (and lex_gens)
+        # are untouched by it
         compact_stats = compact_index(spark, out, cfg,
                                       max_generations=compact_generations)
     blocks = spark.read.parquet(index_dir)
-    # lexicon re-agg is a scan of block METADATA only (no payload
-    # decode; parquet column pruning drops the binary columns)
-    lexicon = blocks.groupBy("term").agg(
-        F.sum("n_postings").alias("df"), F.max("max_tf").alias("max_tf")
-    )
-    lexicon.write.mode("overwrite").parquet(join(out, "lexicon"))
+    if (delta is not None and lex_gens is not None
+            and lex_gens == committed_gens - {max(new_runs)}
+            and fs.is_dir(lex_dir)):
+        # incremental path: merge the new generation's (df, max_tf)
+        # deltas into the existing lexicon — reads ONLY the old lexicon
+        # and the staged delta, never the pre-existing shards' metadata
+        old_lex = spark.read.parquet(lex_dir)
+        merged = old_lex.join(delta, "term", "full_outer").select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0))
+             + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
+            F.greatest(
+                F.coalesce(F.col("max_tf"), F.lit(0)),
+                F.coalesce(F.col("max_tf_new"), F.lit(0)),
+            ).alias("max_tf"),
+        )
+        # can't overwrite a parquet dir mid-read: stage + swap (crash
+        # between the renames → recovery preamble restores from .old)
+        stage_lex = join(out, "_lexicon_stage")
+        merged.write.mode("overwrite").parquet(stage_lex)
+        fs.rename(lex_dir, lex_old)
+        fs.rename(stage_lex, lex_dir)
+        fs.delete_tree(lex_old)
+        lexicon_mode = "incremental"
+    elif delta is not None or lex_gens is None or lex_gens != committed_gens:
+        # repair / first-build path: full re-agg over block METADATA
+        # (no payload decode; parquet column pruning drops the binary
+        # columns)
+        lexicon = blocks.groupBy("term").agg(
+            F.sum("n_postings").alias("df"), F.max("max_tf").alias("max_tf")
+        )
+        lexicon.write.mode("overwrite").parquet(lex_dir)
+        lexicon_mode = "full"
+    else:
+        lexicon_mode = "skip"   # zero-input drain over a current lexicon
+    # snapshot #2: the lexicon now reflects every committed generation
+    fs.write_text(fin_path, json.dumps(
+        {"runs": all_runs, "gens": sorted(committed_gens),
+         "lex_gens": sorted(committed_gens)}))
     return {
         "n_batches": len(all_runs),
         "n_new_runs": len(new_runs),
         "n_postings": int(blocks.agg(F.sum("n_postings")).collect()[0][0] or 0),
         "out": out,
+        "lexicon_mode": lexicon_mode,
         **compact_stats,
     }
 

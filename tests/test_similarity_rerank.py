@@ -234,3 +234,101 @@ def test_ivf_broadcast_1024_centroids_plan_stays_small(spark):
     # topk through the kernel path also runs end-to-end
     rows = sim.ivf_topk(df, n_queries=3, k=5, n_centroids=c, nprobe=8).collect()
     assert len(rows) == 15
+
+
+# --- trained centroids (VERDICT r3 #6) --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_emb(spark):
+    """The untrained-seeding failure mode: three well-separated
+    clusters, but vec_ids ordered so the first-N vectors (= the
+    untrained centroids) ALL come from cluster 0 — every other
+    cluster's mass then piles into one or two cells."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    dim, per = 16, 120
+    axes = np.zeros((3, dim))
+    axes[0, 0] = axes[1, 5] = axes[2, 10] = 1.0
+    mats = [axes[c] * 10.0 + rng.randn(per, dim) * 0.3 for c in range(3)]
+    mat = np.vstack(mats)          # ids 0..119 cluster0, 120..239 c1, ...
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(mat.shape[0], dtype=np.int64),
+        "embedding": [[float(x) for x in row] for row in mat],
+    }))
+    return df.cache(), mat
+
+
+def test_trained_centroids_balance_cells(skewed_emb):
+    df, mat = skewed_emb
+    c = 6
+    trained = sim.train_centroids(df, c, sample_size=360, iters=8)
+
+    def cell_sizes(centroids):
+        counts = (sim.ivf_assign(df, c, method="broadcast",
+                                 centroids=centroids)
+                  .groupBy("centroid_id").count().collect())
+        return sorted(r["count"] for r in counts)
+
+    untrained, trained_sz = cell_sizes(None), cell_sizes(trained)
+    # The documented dense-cell caveat (similarity.neardup_pairs): with
+    # untrained first-N centroids a tight far cluster's argmax is
+    # decided by CENTROID noise — constant across the cluster — so the
+    # whole cluster collapses into one cell.  The join cost the caveat
+    # is about is Σ size² (O(cell²) pair work); training must reduce
+    # it, and the biggest trained cell must stay near one cluster.
+    pair_work = lambda sizes: sum(s * s for s in sizes)
+    assert pair_work(trained_sz) < pair_work(untrained), (
+        trained_sz, untrained)
+    assert trained_sz[-1] <= 130, trained_sz
+    assert untrained[-1] > trained_sz[-1], (trained_sz, untrained)
+
+
+def test_trained_centroids_recall_not_worse(skewed_emb):
+    df, mat = skewed_emb
+    c, k, nq = 6, 10, 6
+    trained = sim.train_centroids(df, c, sample_size=360, iters=8)
+
+    def truth(q):
+        sims = mat @ mat[q] / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[q]))
+        sims[q] = -np.inf
+        return set(sorted(range(len(sims)),
+                          key=lambda i: (-round(sims[i], 6), i))[:k])
+
+    def recall(centroids):
+        got = sim.ivf_topk(df, n_queries=nq, k=k, n_centroids=c, nprobe=2,
+                           method="broadcast", centroids=centroids).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(by_q.get(q, set()) & truth(q)) / k
+                   for q in range(nq)) / nq
+
+    r_untrained, r_trained = recall(None), recall(trained)
+    assert r_trained >= r_untrained, (r_trained, r_untrained)
+    assert r_trained >= 0.9, r_trained
+
+
+def test_neardup_trained_centroids_finds_planted_pairs(skewed_emb, spark):
+    import pandas as pd
+
+    df, mat = skewed_emb
+    # plant near-identical twins of three vectors, one per cluster
+    twins = mat[[0, 130, 250]] + 1e-4
+    extra = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(1000, 1003, dtype=np.int64),
+        "embedding": [[float(x) for x in row] for row in twins],
+    }))
+    full = df.unionByName(extra)
+    trained = sim.train_centroids(full, 6, sample_size=400, iters=8)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in sim.neardup_pairs(
+        full, threshold=0.999, n_centroids=6, method="broadcast",
+        centroids=trained).collect()}
+    for a, b in [(0, 1000), (130, 1001), (250, 1002)]:
+        assert (a, b) in pairs, (a, b, pairs)
+    # blocked result stays a subset of the exact all-pairs baseline
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             sim.neardup_pairs_exact(full, threshold=0.999).collect()}
+    assert pairs <= exact

@@ -61,13 +61,73 @@ def test_incremental_finalize_only_encodes_new_runs(spark, documents, tmp_path):
     s2 = si.run_incremental_build(spark, src, out, EngineConfig())
     assert s2["n_batches"] == 4
     assert s2["n_new_runs"] == 2               # only the new runs encoded
+    # VERDICT r3 #3: the second drain merges the new generation's
+    # (df, max_tf) deltas into the existing lexicon instead of
+    # re-aggregating the whole index's metadata — and the merged
+    # lexicon must equal the batch build over the full corpus
+    assert s1["lexicon_mode"] == "full"        # first build: no lexicon yet
+    assert s2["lexicon_mode"] == "incremental"
     got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
     want = sorted(map(tuple, ib.build_lexicon(ib.build_postings(documents)).collect()))
     assert got == want
-    # a third drain with nothing new encodes nothing
+    # a third drain with nothing new encodes nothing and skips the
+    # lexicon entirely (lex_gens already covers every committed gen)
     s3 = si.run_incremental_build(spark, src, out, EngineConfig())
     assert s3["n_new_runs"] == 0
     assert s3["n_postings"] == s2["n_postings"]
+    assert s3["lexicon_mode"] == "skip"
+
+
+def test_lexicon_merge_crash_repair(spark, documents, tmp_path):
+    # Crash window: generation committed (snapshot #1) but the lexicon
+    # update never ran.  Simulated by rolling lex_gens back out of the
+    # snapshot — the next drain must detect the mismatch, repair via
+    # the full metadata re-agg, and converge to the batch lexicon.
+    import json
+
+    src = str(tmp_path / "drops")
+    documents.repartition(2).write.parquet(src)
+    out = str(tmp_path / "idx")
+    si.run_incremental_build(spark, src, out, EngineConfig())
+    fin_path = out + "/_finalized.json"
+    with open(fin_path) as f:
+        fin = json.load(f)
+    fin.pop("lex_gens")
+    with open(fin_path, "w") as f:
+        json.dump(fin, f)
+    # also corrupt the lexicon itself so only a real repair passes
+    import shutil
+    shutil.rmtree(out + "/lexicon")
+    s2 = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert s2["lexicon_mode"] == "full"
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple, ib.build_lexicon(ib.build_postings(documents)).collect()))
+    assert got == want
+
+
+def test_lexicon_swap_crash_recovery(spark, documents, tmp_path):
+    # Crash window INSIDE the lexicon swap: live lexicon renamed to
+    # .old, replacement not yet installed.  The next drain's recovery
+    # preamble must restore it and stay on the incremental path.
+    import os
+
+    half_a = documents.filter(F.col("doc_id") % 2 == 0)
+    half_b = documents.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "drops")
+    stage = str(tmp_path / "stage_b")
+    half_a.repartition(1).write.parquet(src)
+    half_b.repartition(1).write.parquet(stage)
+    out = str(tmp_path / "idx")
+    si.run_incremental_build(spark, src, out, EngineConfig())
+    os.rename(out + "/lexicon", out + "/lexicon.old")   # simulated kill
+    for f in os.listdir(stage):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(stage, f), os.path.join(src, f))
+    s2 = si.run_incremental_build(spark, src, out, EngineConfig())
+    assert s2["lexicon_mode"] == "incremental"
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple, ib.build_lexicon(ib.build_postings(documents)).collect()))
+    assert got == want
 
 
 def test_compaction_restores_batch_block_layout(spark, documents, tmp_path):
