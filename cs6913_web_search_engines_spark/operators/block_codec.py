@@ -47,7 +47,8 @@ INDEX_SCHEMA = (
     "term string, seg long, block_id int, n_postings int, "
     "first_doc_id long, last_doc_id long, max_tf int, "
     "chunk_last_doc_ids array<long>, chunk_counts array<int>, "
-    "chunk_max_tfs array<int>, doc_gaps binary, tfs binary"
+    "chunk_max_tfs array<int>, chunk_gap_bytes array<int>, "
+    "chunk_tf_bytes array<int>, doc_gaps binary, tfs binary"
 )
 
 
@@ -192,6 +193,15 @@ def _chunkrange_row(term, seg, block_id, a, b, all_docs, chunk_starts,
         "chunk_last_doc_ids": last_docs[a:b].tolist(),
         "chunk_counts": counts[a:b].astype(np.int32).tolist(),
         "chunk_max_tfs": max_tfs[a:b].astype(np.int32).tolist(),
+        # per-chunk payload sizes — the reference's docIdSizeList /
+        # freqSizeList (Lexicon.cpp:196-214): with these, a decoder can
+        # SKIP a chunk's bytes without scanning them (VarByte has no
+        # other random access), which is what chunk-level block-max
+        # pruning needs (query_exec.segment_topk_candidates)
+        "chunk_gap_bytes": (gap_offs[a + 1:b + 1]
+                            - gap_offs[a:b]).astype(np.int32).tolist(),
+        "chunk_tf_bytes": (tf_offs[a + 1:b + 1]
+                           - tf_offs[a:b]).astype(np.int32).tolist(),
         "doc_gaps": gap_buf[gap_offs[a]:gap_offs[b]],
         "tfs": tf_buf[tf_offs[a]:tf_offs[b]],
     }

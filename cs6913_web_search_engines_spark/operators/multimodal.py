@@ -8,13 +8,15 @@ vectorized batches, never row-at-a-time Python.  The reference has no
 media path (its final project encodes text only, SURVEY §2.10) —
 this module supplies the missing modality plumbing.
 
-The container has no image/audio libraries, so the *real* decode is a
-clearly-marked stub (`decode_media` raises NotImplementedError unless
-PIL is importable); everything Spark-owns — schema, partitioning,
-UDF signature, batch shape, deterministic byte-level features — is
-real and oracle-checked.  Media tables are synthesized
-deterministically from ``documents`` (payload = UTF-8 bytes of the
-text), so the DuckDB oracle can recompute every feature.
+Real decode (``decode_media``) soft-imports its codecs: WAV audio
+through the stdlib ``wave`` module (executable everywhere), images
+through PIL when installed, video marked codec-unavailable; missing
+codecs and corrupt payloads become per-row ``ok=false`` results, not
+raises.  Everything Spark-owns — schema, partitioning, UDF signature,
+batch shape, deterministic byte-level features — is real and
+oracle-checked.  Media tables are synthesized deterministically from
+``documents`` (payload = UTF-8 bytes of the text), so the DuckDB
+oracle can recompute every feature.
 """
 
 from __future__ import annotations
@@ -153,28 +155,73 @@ FROM {docs}
 """
 
 
-# --- the genuinely-external decode: explicit stub ---------------------------
+# --- the genuinely-external decode: soft-import codecs ----------------------
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, ok boolean, width int, height int, "
+    "n_samples int, n_channels int, err string"
+)
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Decode payloads to pixel/sample arrays.
+    """Decode payloads to typed dimensions via soft-imported codecs.
 
-    Requires an image/audio codec library; this container ships none,
-    so this is a STUB by design: the Spark plumbing (batch iterator,
-    schema, partition passthrough) is exactly what a real decoder
-    plugs into — replace ``_decode`` with PIL/soundfile/av calls.
-    """
-    try:  # pragma: no cover - never available in this container
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "media decode needs codec libraries (PIL/soundfile/av) that are "
-            "not installed in this environment; Spark plumbing is in "
-            "extract_features, which this stub mirrors"
-        ) from exc
+    Per kind: **audio** decodes with the stdlib ``wave`` module
+    (always available — RIFF/WAVE header parse, sample/channel
+    counts); **image** decodes with PIL when importable; **video**
+    needs ``av``, never shipped here.  A missing codec or an
+    unparseable payload yields ``ok=false`` with the reason in ``err``
+    instead of raising — the pipeline contract at 100 TB, where some
+    fraction of payloads is always corrupt and a per-row raise would
+    kill the job.  The kernel shape (Arrow batches in, flat typed rows
+    out) is the same plumbing ``extract_features`` exercises."""
 
-    def _decode(batches):  # pragma: no cover
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+
+        cols = ["media_id", "kind", "ok", "width", "height",
+                "n_samples", "n_channels", "err"]
         for pdf in batches:
-            yield pdf
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                mid = int(mid)
+                w = h = ns = nc = None
+                ok, err = False, None
+                buf = bytes(payload) if payload is not None else b""
+                try:
+                    if kind == "image":
+                        if Image is None:
+                            err = "codec-unavailable:PIL"
+                        else:
+                            with Image.open(io.BytesIO(buf)) as im:
+                                w, h = int(im.width), int(im.height)
+                                nc = len(im.getbands())
+                                ok = True
+                    elif kind == "audio":
+                        with wave.open(io.BytesIO(buf)) as wf:
+                            ns = int(wf.getnframes())
+                            nc = int(wf.getnchannels())
+                            ok = True
+                    else:
+                        err = "codec-unavailable:av"
+                except Exception as exc:  # corrupt payload → row, not raise
+                    err = f"decode-error:{type(exc).__name__}"
+                rows.append((mid, kind, ok, w, h, ns, nc, err))
+            out = pd.DataFrame(rows, columns=cols)
+            out["media_id"] = out["media_id"].astype("int64")
+            out["ok"] = out["ok"].astype(bool)
+            for c in ("width", "height", "n_samples", "n_channels"):
+                out[c] = out[c].astype("Int32")
+            yield out
 
-    return media.mapInPandas(_decode, media.schema)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _decode, DECODED_SCHEMA
+    )

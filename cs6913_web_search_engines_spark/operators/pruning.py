@@ -238,26 +238,35 @@ def search_pruned(
     kernel_parts = max(8, min(spark.sparkContext.defaultParallelism * 2,
                               est_rows // 2_000 + 1))
 
+    chunk_accs = None
+    if counters is not None:
+        sc = spark.sparkContext
+        chunk_accs = (sc.accumulator(0), sc.accumulator(0))
+        counters["_chunk_accs"] = chunk_accs   # read .value after action
+
     def exact_candidates(block_keys: DataFrame) -> DataFrame | None:
         """Fused decode+score+per-segment-top-k over exactly the given
-        (query_id, term, seg, block_id) rows → per-segment candidate
-        rows (query_id, doc_id, score), pre-global-ranking.  Blocks
-        are tagged with query_id *before* decode so a block kept for
-        query A never leaks partial scores into query B (which may
-        have pruned it).  None when norms aren't in RAM (the kernel
-        needs the resident length array)."""
+        (query_id, term, seg, block_id[, cut_ub]) rows → per-segment
+        candidate rows (query_id, doc_id, score), pre-global-ranking.
+        Blocks are tagged with query_id *before* decode so a block
+        kept for query A never leaks partial scores into query B
+        (which may have pruned it).  ``cut_ub`` (survivor keys only)
+        enables chunk-level skipping inside the kernel — see
+        query_exec.segment_topk_candidates.  None when norms aren't in
+        RAM (the kernel needs the resident length array)."""
         if len_lookup is None:
             return None
-        keys = block_keys.select(
-            "query_id", "term", "seg", "block_id"
-        ).dropDuplicates()
+        key_cols = ["query_id", "term", "seg", "block_id"]
+        sel = key_cols + (["cut_ub"] if "cut_ub" in block_keys.columns
+                          else [])
+        keys = block_keys.select(*sel).dropDuplicates(key_cols)
         if broadcast_keys:
             keys = F.broadcast(keys)
         kept = src.join(keys, ["term", "seg", "block_id"])
         return query_exec.segment_topk_candidates(
             spark, kept, lexicon, stats, queries, cfg,
             len_lookup=len_lookup, conjunctive=conjunctive, dfs=dfs,
-            num_partitions=kernel_parts,
+            num_partitions=kernel_parts, chunk_counters=chunk_accs,
         )
 
     def exact_scores(block_keys: DataFrame) -> DataFrame:
@@ -396,7 +405,20 @@ def search_pruned(
             | (F.col("ub") + F.col("sum_pos") - F.col("term_ub_pos")
                >= F.col("theta"))
         )
-        .select("query_id", "term", "seg", "block_id")
+        # cut_ub = θ − other-terms slack: the bound a CHUNK inside this
+        # surviving block must still clear — the decode kernel prunes
+        # chunks below it (null = no chunk pruning: no θ yet, or a
+        # negative-idf term, same rule as the block filter above)
+        .select(
+            "query_id", "term", "seg", "block_id",
+            F.when(
+                F.col("theta").isNull()
+                | (F.col("df") * 2 >= F.lit(total_docs)),
+                F.lit(None).cast("double"),
+            ).otherwise(
+                F.col("theta") - (F.col("sum_pos") - F.col("term_ub_pos"))
+            ).alias("cut_ub"),
+        )
     )
     if counters is not None:
         # bench-only accounting (extra actions): how many (query, term,
@@ -516,8 +538,14 @@ def _search_pruned_driver(
     mask = (sv["theta"].isna()
             | (sv["df"] * 2 >= total_docs)      # never prune negative idf
             | (sv["ub"] + sv["sum_pos"] - sv["term_ub_pos"] >= sv["theta"]))
-    surv_keys = sv[mask][["query_id", "term", "seg",
-                          "block_id"]].drop_duplicates()
+    # chunk-level cut: same rule as the distributed planner (NaN =
+    # no chunk pruning — no θ, or negative-idf term)
+    sv["cut_ub"] = sv["theta"] - (sv["sum_pos"] - sv["term_ub_pos"])
+    sv.loc[sv["theta"].isna() | (sv["df"] * 2 >= total_docs),
+           "cut_ub"] = float("nan")
+    surv_keys = sv[mask][["query_id", "term", "seg", "block_id",
+                          "cut_ub"]].drop_duplicates(
+        subset=["query_id", "term", "seg", "block_id"])
     if counters is not None:
         counters["seed_blocks"] = len(seed_keys)
         counters["survivor_blocks"] = len(surv_keys) + len(seed_keys)
@@ -529,7 +557,8 @@ def _search_pruned_driver(
         combined = seed_scores
     else:
         phase2 = exact_scores(
-            spark.createDataFrame(surv_keys, keys_schema))
+            spark.createDataFrame(surv_keys,
+                                  keys_schema + ", cut_ub double"))
         combined = seed_scores.unionByName(
             phase2.select("query_id", "doc_id", "score"))
     # per-subset top-k ∪ re-rank is exact — see search_pruned

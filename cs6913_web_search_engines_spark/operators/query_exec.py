@@ -218,6 +218,7 @@ def segment_topk_candidates(
     conjunctive: bool = False,
     num_partitions: int | None = None,
     dfs: dict[str, int] | None = None,
+    chunk_counters=None,
 ) -> DataFrame:
     """Fused decode + BM25 + per-(segment, query) top-k Arrow kernel
     over candidate block rows → (query_id, doc_id, score) candidates.
@@ -228,6 +229,26 @@ def segment_topk_candidates(
     here); tagged rows contribute only to their own query — the pruned
     tier's per-query block survivorship, where one block may survive
     for query A and be pruned for query B.
+
+    **Chunk-level skipping** (the deepest block-max granularity): when
+    tagged rows also carry ``cut_ub`` (the pruned planner's θ minus
+    the other-terms slack for this (query, term, seg)) plus the
+    per-chunk metadata columns (``chunk_counts/chunk_max_tfs/
+    chunk_gap_bytes/chunk_tf_bytes`` — the reference's per-chunk
+    lastDocId/size arrays, Lexicon.cpp:196-214, which IT writes but
+    never skips with, QueryProcessor.cpp:547-554), the kernel prunes
+    chunks INSIDE a surviving block whose BM25 upper bound
+    ``idf·(k1+1)·max_tf/(K(min_len)+max_tf)`` falls below ``cut_ub``
+    before decoding a byte (the size arrays give the chunk's byte
+    offsets; VarByte has no other random access).  Soundness is the
+    block argument one level down: every doc in a skipped chunk has
+    total score < θ, and dropping a positive contribution only
+    deflates already-doomed docs — with a 1e-9 margin on the cut so
+    cross-engine (numpy vs Catalyst) ULP drift can only cause extra
+    decode, never a wrong skip.  Negative-idf terms are never
+    chunk-pruned (dropping a negative contribution would inflate).
+    ``chunk_counters``: optional (total, decoded) accumulator pair for
+    bench/pytest accounting of chunks seen vs chunks decoded.
 
     Emits each segment's exact top-k per query; the global top-k per
     query is a subset under the same (score DESC, doc_id ASC) order
@@ -264,6 +285,13 @@ def segment_topk_candidates(
     k1, b = cfg.k1, cfg.b
     top_k = cfg.top_k
     chunk = cfg.postings_per_chunk
+    _SKIP_COLS = ("cut_ub", "chunk_counts", "chunk_max_tfs",
+                  "chunk_gap_bytes", "chunk_tf_bytes")
+    chunk_skip = tagged and all(c in cand.columns for c in _SKIP_COLS)
+    # K at the corpus-minimum length — the positive-idf chunk bound's
+    # denominator, matching pruning.block_upper_bound exactly
+    k_min_len = k1 * ((1.0 - b)
+                      + b * float(max(int(stats.get("min_len", 1)), 1)) / avg)
     sc = spark.sparkContext
     t2q_b = sc.broadcast(term2q)
     idf_b = sc.broadcast(idf)
@@ -312,9 +340,18 @@ def segment_topk_candidates(
 
         for pdf in batches:
             qids = pdf["query_id"] if tagged else pdf["term"]
-            for qid_row, term, seg, n, gaps, tfs in zip(
-                qids, pdf["term"], pdf["seg"], pdf["n_postings"],
-                pdf["doc_gaps"], pdf["tfs"],
+            if chunk_skip:
+                extras = zip(pdf["cut_ub"], pdf["chunk_counts"],
+                             pdf["chunk_max_tfs"], pdf["chunk_gap_bytes"],
+                             pdf["chunk_tf_bytes"])
+            else:
+                extras = ((None,) * 5 for _ in range(len(pdf)))
+            for (qid_row, term, seg, n, gaps, tfs), (
+                cut, ccounts, cmaxtfs, cgbytes, ctbytes,
+            ) in zip(
+                zip(qids, pdf["term"], pdf["seg"], pdf["n_postings"],
+                    pdf["doc_gaps"], pdf["tfs"]),
+                extras,
             ):
                 seg = int(seg)
                 if seg != cur_seg:
@@ -323,8 +360,42 @@ def segment_topk_candidates(
                     if nrows >= 1 << 20:
                         yield drain()
                 n = int(n)
-                ids = varbyte.delta_decode(varbyte.decode(bytes(gaps), n), chunk)
-                tf = varbyte.decode(bytes(tfs), n).astype(np.float64)
+                buf_g, buf_t = bytes(gaps), bytes(tfs)
+                if chunk_skip and ccounts is not None:
+                    cc = np.asarray(ccounts, dtype=np.int64)
+                    n_kept = cc.size
+                    if (cut is not None and not pd.isna(cut)
+                            and idfs[term] > 0):
+                        mt = np.asarray(cmaxtfs, dtype=np.float64)
+                        ub_c = idfs[term] * (k1 + 1.0) * mt / (k_min_len + mt)
+                        # 1e-9 margin: cross-engine ULP drift may only
+                        # add decode, never skip a live chunk
+                        keep = ub_c >= (float(cut) - 1e-9)
+                        if not keep.all():
+                            gb = np.asarray(cgbytes, dtype=np.int64)
+                            tb = np.asarray(ctbytes, dtype=np.int64)
+                            go = np.zeros(gb.size + 1, dtype=np.int64)
+                            np.cumsum(gb, out=go[1:])
+                            to = np.zeros(tb.size + 1, dtype=np.int64)
+                            np.cumsum(tb, out=to[1:])
+                            ki = np.flatnonzero(keep)
+                            n_kept = ki.size
+                            # kept chunks are all full (only a block's
+                            # LAST chunk can be partial), so the
+                            # per-chunk delta resets in delta_decode
+                            # stay aligned after dropping chunks
+                            buf_g = b"".join(
+                                buf_g[go[i]:go[i + 1]] for i in ki)
+                            buf_t = b"".join(
+                                buf_t[to[i]:to[i + 1]] for i in ki)
+                            n = int(cc[ki].sum())
+                    if chunk_counters is not None:
+                        chunk_counters[0].add(int(cc.size))
+                        chunk_counters[1].add(int(n_kept))
+                    if n == 0:
+                        continue
+                ids = varbyte.delta_decode(varbyte.decode(buf_g, n), chunk)
+                tf = varbyte.decode(buf_t, n).astype(np.float64)
                 dl = np.zeros(ids.size)
                 m = ids < lens.size
                 dl[m] = lens[ids[m]]
@@ -349,6 +420,8 @@ def segment_topk_candidates(
     nparts = num_partitions or max(sc.defaultParallelism * 2, 8)
     cols = (["query_id"] if tagged else []) + [
         "term", "seg", "n_postings", "doc_gaps", "tfs"]
+    if chunk_skip:
+        cols += list(_SKIP_COLS)
     if not tagged:
         cand = cand.filter(block_codec.term_filter(spark, all_terms, cfg))
     return (

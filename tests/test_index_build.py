@@ -85,6 +85,11 @@ def test_block_invariants(built):
         assert r["chunk_last_doc_ids"][-1] == r["last_doc_id"]
         assert r["max_tf"] == max(r["chunk_max_tfs"])
         assert sorted(r["chunk_last_doc_ids"]) == r["chunk_last_doc_ids"]
+        # per-chunk payload sizes tile the buffers exactly (the random
+        # access chunk skipping relies on)
+        assert sum(r["chunk_gap_bytes"]) == len(r["doc_gaps"])
+        assert sum(r["chunk_tf_bytes"]) == len(r["tfs"])
+        assert all(s > 0 for s in r["chunk_gap_bytes"] + r["chunk_tf_bytes"])
     # block_ids contiguous from 0 per (term, seg)
     by_key = {}
     for r in rows:

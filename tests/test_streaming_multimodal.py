@@ -216,9 +216,65 @@ def test_media_metadata_prunes_payload_column(spark, documents, tmp_path):
     assert cols and "payload" not in cols
 
 
-def test_decode_media_is_stubbed(spark, documents):
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(mm.synthesize_media(documents.limit(1)))
+def test_decode_media_wav_via_stdlib(spark):
+    """decode_media is executable with no optional libs: WAV payloads
+    decode through the stdlib ``wave`` module, corrupt payloads come
+    back ok=false rows (never a raise)."""
+    import io
+    import wave
+
+    def make_wav(n_frames, n_channels):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(n_channels)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00\x00" * n_frames * n_channels)
+        return buf.getvalue()
+
+    rows = [
+        (0, "audio", make_wav(160, 1)),
+        (1, "audio", make_wav(320, 2)),
+        (2, "audio", b"not a wav"),            # corrupt payload
+        (3, "video", b"\x00\x01"),             # codec never available
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert got[0]["ok"] and got[0]["n_samples"] == 160 \
+        and got[0]["n_channels"] == 1
+    assert got[1]["ok"] and got[1]["n_samples"] == 320 \
+        and got[1]["n_channels"] == 2
+    assert not got[2]["ok"] and got[2]["err"].startswith("decode-error:")
+    assert not got[3]["ok"] and got[3]["err"] == "codec-unavailable:av"
+
+
+def test_decode_media_image_soft_import(spark, documents):
+    """Image rows decode when PIL is importable, otherwise surface the
+    codec-unavailable marker — the same test passes in both
+    environments (VERDICT r3 #5 done-criterion)."""
+    try:
+        from PIL import Image
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if has_pil:
+        import io
+
+        im = Image.new("RGB", (12, 7))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        payload = buf.getvalue()
+    else:
+        payload = b"\x89PNG fake"
+    media = spark.createDataFrame(
+        [(0, "image", payload)], "media_id long, kind string, payload binary")
+    r = mm.decode_media(media).collect()[0]
+    if has_pil:
+        assert r["ok"] and (r["width"], r["height"]) == (12, 7)
+    else:
+        assert not r["ok"] and r["err"] == "codec-unavailable:PIL"
 
 def test_compaction_swap_crash_recovery(spark, documents, tmp_path):
     """A kill between the two atomic renames of the shard swap leaves
