@@ -244,7 +244,14 @@ def search_pruned(
         chunk_accs = (sc.accumulator(0), sc.accumulator(0))
         counters["_chunk_accs"] = chunk_accs   # read .value after action
 
-    def exact_candidates(block_keys: DataFrame) -> DataFrame | None:
+    # seg lists longer than this stay out of the scan predicate (an
+    # isin of tens of thousands of literals bloats the plan for a
+    # filter that prunes little)
+    SCAN_SEG_MAX = 4096
+
+    def exact_candidates(block_keys: DataFrame,
+                         scan_segs: list[int] | None = None
+                         ) -> DataFrame | None:
         """Fused decode+score+per-segment-top-k over exactly the given
         (query_id, term, seg, block_id[, cut_ub]) rows → per-segment
         candidate rows (query_id, doc_id, score), pre-global-ranking.
@@ -253,7 +260,16 @@ def search_pruned(
         (which may have pruned it).  ``cut_ub`` (survivor keys only)
         enables chunk-level skipping inside the kernel — see
         query_exec.segment_topk_candidates.  None when norms aren't in
-        RAM (the kernel needs the resident length array)."""
+        RAM (the kernel needs the resident length array).
+
+        ``scan_segs``: when the planner knows the exact segment set
+        driver-side, it is pushed INTO the parquet scan — the join
+        alone prunes nothing at read time, so without it both decode
+        jobs re-read every query-term block's payload bytes (measured:
+        the whole pruned-tier residual at 32 M docs, where term
+        filtering leaves 15 k one-block groups and pruning keeps 24).
+        The fused build writes seg-range-clustered files per shard, so
+        the seg predicate prunes at file/row-group granularity."""
         if len_lookup is None:
             return None
         key_cols = ["query_id", "term", "seg", "block_id"]
@@ -262,14 +278,18 @@ def search_pruned(
         keys = block_keys.select(*sel).dropDuplicates(key_cols)
         if broadcast_keys:
             keys = F.broadcast(keys)
-        kept = src.join(keys, ["term", "seg", "block_id"])
+        scan = src
+        if scan_segs is not None and 0 < len(scan_segs) <= SCAN_SEG_MAX:
+            scan = scan.filter(F.col("seg").isin([int(s) for s in scan_segs]))
+        kept = scan.join(keys, ["term", "seg", "block_id"])
         return query_exec.segment_topk_candidates(
             spark, kept, lexicon, stats, queries, cfg,
             len_lookup=len_lookup, conjunctive=conjunctive, dfs=dfs,
             num_partitions=kernel_parts, chunk_counters=chunk_accs,
         )
 
-    def exact_scores(block_keys: DataFrame) -> DataFrame:
+    def exact_scores(block_keys: DataFrame,
+                     scan_segs: list[int] | None = None) -> DataFrame:
         """Ranked exact top-k over the given block keys.
 
         With norms in RAM this is ONE fused Arrow crossing
@@ -278,7 +298,7 @@ def search_pruned(
         (two extra shuffles of per-posting width, measured as the
         dominant pruned-tier constant).  Beyond norms-in-RAM scale it
         falls back to the distributed doc_stats-join scorer."""
-        cand = exact_candidates(block_keys)
+        cand = exact_candidates(block_keys, scan_segs)
         if cand is not None:
             w = Window.partitionBy("query_id").orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
@@ -303,13 +323,34 @@ def search_pruned(
             broadcast_doc_stats=broadcast_doc_stats,
         )
 
+    probe_pdf = None
+    _META_COLS = ["query_id", "term", "seg", "block_id",
+                  "n_terms", "df", "ub"]
     if driver_plan is None:
         driver_plan = (len_lookup is not None
                        and est_rows <= PLAN_LOCAL_MAX_META_ROWS)
+        if len_lookup is not None and not driver_plan:
+            # The estimate bounds CHUNK rows, so it exceeds the true
+            # block-row count by up to the chunks-per-block packing
+            # factor (~60-100× at 64 KB blocks / ~650 B chunks) —
+            # measured routing the 32 M-doc regime to the distributed
+            # planner (13 s) when the driver planner answers in ~2 s
+            # over the actual 15 k metadata rows.  Probe with ONE
+            # bounded metadata-only collect (CollectLimit stops at
+            # MAX+1 rows, so driver memory stays gated by the same
+            # constant): under the cap, the probe IS the planner's
+            # input; over it, the distributed planner takes over as
+            # before — metadata genuinely beyond the driver.
+            probe_pdf = (meta.select(*_META_COLS)
+                         .limit(PLAN_LOCAL_MAX_META_ROWS + 1).toPandas())
+            if len(probe_pdf) <= PLAN_LOCAL_MAX_META_ROWS:
+                driver_plan = True
+            else:
+                probe_pdf = None
     if driver_plan:
         return _search_pruned_driver(
             spark, meta, exact_scores, exact_candidates, stats, cfg,
-            conjunctive, seed_segs, counters)
+            conjunctive, seed_segs, counters, mpdf=probe_pdf)
 
     meta = meta.coalesce(n_meta).localCheckpoint(eager=True)
 
@@ -459,20 +500,26 @@ def _search_pruned_driver(
     conjunctive: bool,
     seed_segs: int,
     counters: dict | None,
+    mpdf=None,
 ) -> DataFrame:
     """Driver-side planning half of :func:`search_pruned` — identical
     bound/seed/θ/survivor math to the distributed planner, in pandas
     over the collected (small) metadata.  Decode + scoring stay in
     Spark (``exact_scores``), so the job count drops from ~6 actions
     of metadata bookkeeping to exactly: one metadata collect, one
-    seed-decode job, one survivor-decode job."""
+    seed-decode job, one survivor-decode job.  The planner's exact
+    seed/survivor SEGMENT sets are pushed into both decode scans
+    (``scan_segs``) — reads, not just decode, stay proportional to
+    what survived.  ``mpdf``: optionally the already-collected
+    metadata (the routing probe), so the gate costs no second scan."""
     total_docs = int(stats["total_docs"])
     keys_schema = "query_id string, term string, seg long, block_id int"
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int")
 
-    mpdf = meta.select("query_id", "term", "seg", "block_id",
-                       "n_terms", "df", "ub").toPandas()
+    if mpdf is None:
+        mpdf = meta.select("query_id", "term", "seg", "block_id",
+                           "n_terms", "df", "ub").toPandas()
     if counters is not None:
         counters["exhaustive_blocks"] = len(mpdf)
     if len(mpdf) == 0:
@@ -512,7 +559,8 @@ def _search_pruned_driver(
     # skipping the Spark ranking window saves a shuffle stage in the
     # seed job.
     seed_df = spark.createDataFrame(seed_keys, keys_schema)
-    cand = exact_candidates(seed_df)
+    seed_seg_list = sorted(set(seed_keys["seg"].tolist()))
+    cand = exact_candidates(seed_df, seed_seg_list)
     if cand is not None:
         cpdf = cand.toPandas()
         cpdf = cpdf.sort_values(["query_id", "score", "doc_id"],
@@ -520,7 +568,7 @@ def _search_pruned_driver(
         cpdf["rank"] = cpdf.groupby("query_id").cumcount() + 1
         seed_pdf = cpdf[cpdf["rank"] <= cfg.top_k]
     else:
-        seed_pdf = exact_scores(seed_df).toPandas()
+        seed_pdf = exact_scores(seed_df, seed_seg_list).toPandas()
     theta = (seed_pdf[seed_pdf["rank"] == cfg.top_k]
              [["query_id", "score"]].rename(columns={"score": "theta"}))
 
@@ -558,7 +606,8 @@ def _search_pruned_driver(
     else:
         phase2 = exact_scores(
             spark.createDataFrame(surv_keys,
-                                  keys_schema + ", cut_ub double"))
+                                  keys_schema + ", cut_ub double"),
+            sorted(set(surv_keys["seg"].tolist())))
         combined = seed_scores.unionByName(
             phase2.select("query_id", "doc_id", "score"))
     # per-subset top-k ∪ re-rank is exact — see search_pruned
