@@ -48,8 +48,13 @@ NORMS_IN_RAM_MAX_DOCS = 64_000_000
 LOCAL_EXEC_MAX_POSTINGS = 5_000_000
 # Average per-query candidate-posting volume above which the
 # block-max pruned tier pays for its threshold-seeding passes; below,
-# the segmented/exhaustive plans answer faster.
-PRUNED_MIN_AVG_CANDIDATES = 5_000_000
+# the segmented/exhaustive plans answer faster.  CALIBRATED from
+# PRUNED_BENCH.json (round 4): the pruned tier first beats the
+# exhaustive kernel wall-clock at the 8 M-doc level, ~3.1 M candidate
+# postings/query (1.454 vs 1.468 s at 48 queries; 2.00 vs 2.36 s at
+# 256), and still loses at the 2 M-doc level's ~0.8 M (1.66 vs
+# 1.40 s) — the gate sits at the measured crossover.
+PRUNED_MIN_AVG_CANDIDATES = 3_000_000
 
 # Per-term df memo cap: ~50 B/entry → ~50 MB of driver heap; past it
 # the memo clears wholesale (same policy as the postings cache).
