@@ -51,23 +51,38 @@ MULTS = [int(m) for m in
 # floor, so the crossover levels run the realistic batch width where
 # the exhaustive plan's work (Σ_q candidate postings) actually bites.
 N_QUERIES = int(os.environ.get("PRUNED_BENCH_QUERIES", "8"))
+
+# Corpus shape.  "hothead" (default): one high-tf term concentrated in
+# segment 0 — the block-level pruning regime (whole blocks/segments
+# drop below θ).  "chunkskew": the hot term ALSO has a long tf=1 tail
+# across every block, with tf=50 spikes every ~4 k docs — so almost
+# every block survives block-level pruning on its max_tf=50 bound, but
+# only the spike CHUNKS inside clear the cut_ub; this is the regime
+# chunk-level skipping (VERDICT r3 #2) exists for (web reality: a
+# term's tf distribution is skewed *inside* posting-list blocks, e.g.
+# boilerplate mentions vs topical pages).  The chunkskew rows make the
+# chunk counters a measured quantity instead of pytest-only.
+SHAPE = os.environ.get("PRUNED_BENCH_SHAPE", "hothead")
 _WORDS = ["data", "fast", "the", "query", "merge", "sort", "spark",
           "filter", "window", "table", "column", "vector", "stream",
           "value", "small", "join", "big", "group", "hash", "customer",
           "order", "slow", "line", "part"]
 QUERIES = {
-    f"p{i}": f"hotterm {_WORDS[i % len(_WORDS)]}q{i % VEXP}"
+    # chunkskew: single-term queries on the skewed term — cut_ub = θ
+    # directly (no other-terms slack), isolating the chunk-bound cut
+    f"p{i}": ("hotterm" if SHAPE == "chunkskew"
+              else f"hotterm {_WORDS[i % len(_WORDS)]}q{i % VEXP}")
     for i in range(N_QUERIES)
 }
 
 
 def corpus(spark, replicate: int) -> str:
-    path = f"/dev/shm/pruned_corpus_r{replicate}_v{VEXP}"
+    path = f"/dev/shm/pruned_corpus_{SHAPE}_r{replicate}_v{VEXP}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         rep = spark.range(replicate).withColumnRenamed("id", "copy")
         hot = " ".join(["hotterm"] * 100)
-        (
+        base = (
             docs0.crossJoin(rep)
             .withColumn("doc_id", F.col("doc_id") * replicate + F.col("copy"))
             .withColumn(
@@ -77,6 +92,29 @@ def corpus(spark, replicate: int) -> str:
                     f"w -> concat(w, 'q', CAST(copy % {VEXP} AS STRING))))"
                 ),
             )
+        )
+        if SHAPE == "chunkskew":
+            spike = " ".join(["hotterm"] * 50)
+            (
+                base
+                # tf=50 spikes on 16 of every 4096 docs; tf=1 tail on
+                # every 4th doc — posting list spans every block, hot
+                # chunks are a small minority inside each
+                .withColumn(
+                    "text",
+                    F.when(F.col("doc_id") % 4096 < 16,
+                           F.concat(F.col("text"), F.lit(" " + spike)))
+                    .when(F.col("doc_id") % 4 == 0,
+                          F.concat(F.col("text"), F.lit(" hotterm")))
+                    .otherwise(F.col("text")),
+                )
+                .drop("copy")
+                .repartition(64)
+                .write.mode("overwrite").parquet(path)
+            )
+            return path
+        (
+            base
             .withColumn(
                 "text",
                 F.when(F.col("doc_id") < 2048,
@@ -93,7 +131,7 @@ def corpus(spark, replicate: int) -> str:
 def level(spark, replicate: int, cfg: EngineConfig) -> dict:
     docs = spark.read.parquet(corpus(spark, replicate))
     n_docs = docs.count()
-    out = f"/dev/shm/pruned_idx_{replicate}"
+    out = f"/dev/shm/pruned_idx_{SHAPE}_{replicate}"
     shutil.rmtree(out, ignore_errors=True)
     stats = ib.build_full(spark, docs, out, cfg,
                           checkpoint_runs=False, fused=True)
@@ -155,6 +193,7 @@ def main() -> None:
     levels = [level(spark, REPLICATE * m, cfg) for m in MULTS]
     row = {
         "metric": "block-max pruning crossover (decoded volume vs corpus size)",
+        "shape": SHAPE,
         "vexp": VEXP,
         "queries": len(QUERIES),
         "levels": levels,

