@@ -275,7 +275,30 @@ def search_pruned(
         key_cols = ["query_id", "term", "seg", "block_id"]
         sel = key_cols + (["cut_ub"] if "cut_ub" in block_keys.columns
                           else [])
-        keys = block_keys.select(*sel).dropDuplicates(key_cols)
+        # Share decode across queries that kept the same physical
+        # block: grouped keys carry query_ids array<string> so the
+        # payload join ships and the kernel decodes ONE copy per
+        # (term, seg, block) instead of one per (query, block) —
+        # without this a batch whose queries overlap on a term pays
+        # payload shuffle + decode per query (measured 256 same-term
+        # queries: 125 k tagged rows for 489 physical blocks).  The
+        # merged cut_ub is the MIN over the block's queries, null if
+        # any has none (decode must keep every chunk any query needs;
+        # per-query add-back is rank-safe — see the kernel docstring).
+        # The driver planner pre-groups in pandas (stage-count parity:
+        # a Spark groupBy here measured +0.5 s of tiny-stage
+        # scheduling per batch, the exact trap localCheckpoint fixed);
+        # the distributed planner groups here.
+        if "query_ids" in block_keys.columns:
+            keys = block_keys
+        else:
+            keys = block_keys.select(*sel).dropDuplicates(key_cols)
+            agg = [F.collect_list("query_id").alias("query_ids")]
+            if "cut_ub" in block_keys.columns:
+                agg.append(
+                    F.when(F.count(F.lit(1)) == F.count("cut_ub"),
+                           F.min("cut_ub")).alias("cut_ub"))
+            keys = keys.groupBy("term", "seg", "block_id").agg(*agg)
         if broadcast_keys:
             keys = F.broadcast(keys)
         scan = src
@@ -308,7 +331,10 @@ def search_pruned(
                 .filter(F.col("rank") <= cfg.top_k)
                 .select("query_id", "doc_id", "score", "rank")
             )
-        keys = block_keys.select(
+        bk = block_keys
+        if "query_ids" in bk.columns:     # pre-grouped (driver planner)
+            bk = bk.withColumn("query_id", F.explode("query_ids"))
+        keys = bk.select(
             "query_id", "term", "seg", "block_id"
         ).dropDuplicates()
         if broadcast_keys:
@@ -514,6 +540,8 @@ def _search_pruned_driver(
     metadata (the routing probe), so the gate costs no second scan."""
     total_docs = int(stats["total_docs"])
     keys_schema = "query_id string, term string, seg long, block_id int"
+    grouped_schema = ("term string, seg long, block_id int, "
+                      "query_ids array<string>")
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int")
 
@@ -558,7 +586,13 @@ def _search_pruned_driver(
     # the (collect-sized) per-segment candidates here in pandas —
     # skipping the Spark ranking window saves a shuffle stage in the
     # seed job.
-    seed_df = spark.createDataFrame(seed_keys, keys_schema)
+    # pre-group per physical block in pandas (shared decode — see
+    # exact_candidates): one Spark row per (term, seg, block) with the
+    # query_ids array, zero extra Spark stages
+    seed_g = (seed_keys.groupby(["term", "seg", "block_id"],
+                                as_index=False)
+              .agg(query_ids=("query_id", list)))
+    seed_df = spark.createDataFrame(seed_g, grouped_schema)
     seed_seg_list = sorted(set(seed_keys["seg"].tolist()))
     cand = exact_candidates(seed_df, seed_seg_list)
     if cand is not None:
@@ -604,9 +638,16 @@ def _search_pruned_driver(
     if len(surv_keys) == 0:
         combined = seed_scores
     else:
+        # grouped like the seed keys; merged cut_ub = min with
+        # skipna=False so any no-cut query (NaN) disables chunk
+        # pruning for the shared block
+        surv_g = (surv_keys.groupby(["term", "seg", "block_id"],
+                                    as_index=False)
+                  .agg(query_ids=("query_id", list),
+                       cut_ub=("cut_ub",
+                               lambda s: s.min(skipna=False))))
         phase2 = exact_scores(
-            spark.createDataFrame(surv_keys,
-                                  keys_schema + ", cut_ub double"),
+            spark.createDataFrame(surv_g, grouped_schema + ", cut_ub double"),
             sorted(set(surv_keys["seg"].tolist())))
         combined = seed_scores.unionByName(
             phase2.select("query_id", "doc_id", "score"))

@@ -228,11 +228,24 @@ def segment_topk_candidates(
     containing the term (the segmented batch tier, which term-filters
     here); tagged rows contribute only to their own query — the pruned
     tier's per-query block survivorship, where one block may survive
-    for query A and be pruned for query B.
+    for query A and be pruned for query B.  A ``query_ids``
+    array<string> column instead of ``query_id`` is the SHARED-decode
+    tagged form (one row per physical block, decoded once, accumulated
+    for every listed query): without it a batch whose queries overlap
+    on a term ships and decodes one payload copy per (query, block) —
+    the pruned tier's worst case is exactly the shared-term batch the
+    untagged tier handles for free.
 
     **Chunk-level skipping** (the deepest block-max granularity): when
     tagged rows also carry ``cut_ub`` (the pruned planner's θ minus
-    the other-terms slack for this (query, term, seg)) plus the
+    the other-terms slack for this (query, term, seg); in the
+    shared-decode form the MIN over the row's queries, null when any
+    of them has none, so decode keeps every chunk ANY tagged query
+    needs — a query then accumulates postings it alone would have
+    chunk-skipped, which is rank-safe for the same reason block
+    add-back is: its true-top-k docs' blocks all survive with complete
+    scores, and extra postings only move doomed docs toward true
+    scores still below θ) plus the
     per-chunk metadata columns (``chunk_counts/chunk_max_tfs/
     chunk_gap_bytes/chunk_tf_bytes`` — the reference's per-chunk
     lastDocId/size arrays, Lexicon.cpp:196-214, which IT writes but
@@ -264,7 +277,8 @@ def segment_topk_candidates(
     if len_lookup is None:
         raise ValueError("segment kernel requires the norms broadcast; "
                          "use search_compressed beyond norms-in-RAM scale")
-    tagged = "query_id" in cand.columns
+    multi = "query_ids" in cand.columns
+    tagged = multi or "query_id" in cand.columns
     mode = "hw2" if cfg.length_norm == "hw2" else "hw3"
     qterms = {qid: tokenizer.split_query(q, mode) for qid, q in queries.items()}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -339,7 +353,10 @@ def segment_topk_candidates(
             acc.clear()
 
         for pdf in batches:
-            qids = pdf["query_id"] if tagged else pdf["term"]
+            if multi:
+                qids = pdf["query_ids"]
+            else:
+                qids = pdf["query_id"] if tagged else pdf["term"]
             if chunk_skip:
                 extras = zip(pdf["cut_ub"], pdf["chunk_counts"],
                              pdf["chunk_max_tfs"], pdf["chunk_gap_bytes"],
@@ -409,7 +426,13 @@ def segment_topk_candidates(
                     ids, tf, dl = ids[ok], tf[ok], dl[ok]
                 K = k1 * ((1.0 - b) + b * dl / avg)
                 contrib = idfs[term] * (k1 + 1.0) * tf / (K + tf)
-                if tagged:
+                if multi:
+                    # shared decode: the (ids, contrib) arrays are
+                    # appended by reference for every query that kept
+                    # this block — no per-query copy
+                    for qid in qid_row:
+                        acc.setdefault(qid, []).append((ids, contrib))
+                elif tagged:
                     acc.setdefault(qid_row, []).append((ids, contrib))
                 else:
                     for qid in t2q.get(term, ()):
@@ -418,7 +441,8 @@ def segment_topk_candidates(
         yield drain()
 
     nparts = num_partitions or max(sc.defaultParallelism * 2, 8)
-    cols = (["query_id"] if tagged else []) + [
+    cols = (["query_ids"] if multi else
+            ["query_id"] if tagged else []) + [
         "term", "seg", "n_postings", "doc_gaps", "tfs"]
     if chunk_skip:
         cols += list(_SKIP_COLS)

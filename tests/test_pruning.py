@@ -255,3 +255,50 @@ def test_chunk_skipping_inside_surviving_blocks(spark, tmp_path, driver_plan):
     assert decoded < total, (decoded, total)
     # seg 1 spans 8 chunks of 'hot'; only the max_tf=50 chunk clears θ
     assert total - decoded >= 6, (decoded, total)
+
+
+@pytest.mark.parametrize("driver_plan", [True, False])
+def test_shared_decode_across_overlapping_queries(spark, tmp_path,
+                                                 driver_plan):
+    """Queries that keep the same physical block share ONE decode:
+    grouped survivor keys (query_ids array) mean the chunk accounting
+    for four copies of a query equals the single-query accounting —
+    not 4× — while every copy still ranks identically to the
+    exhaustive path (the shared-term batch was the pruned tier's
+    measured worst case: payload shuffle + decode per (query, block))."""
+    rows = []
+    for d in range(2048):
+        words = ["common", "filler"]
+        if d < 64:
+            words += ["hot"] * 50
+        elif 1024 <= d < 1536:
+            words += ["hot"] * (50 if 1088 <= d < 1152 else 1)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(segment_docs=1024, n_term_shards=4, top_k=10)
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    stats = ib.corpus_stats(doc_stats)
+    lexicon = ib.build_lexicon(postings)
+    path = str(tmp_path / "index")
+    bc.write_index(bc.encode_index(postings, cfg), path)
+    norms = _norms_broadcast(spark, doc_stats)
+
+    chunks = {}
+    for label, queries in (("one", {"q0": "hot common"}),
+                           ("four", {f"q{i}": "hot common"
+                                     for i in range(4)})):
+        counters: dict = {}
+        got = pruning.search_pruned(
+            spark, path, lexicon, doc_stats, stats, queries, cfg,
+            seed_segs=1, counters=counters, len_lookup=norms,
+            driver_plan=driver_plan,
+        ).collect()
+        want = qe.search_compressed(
+            spark, path, lexicon, doc_stats, stats, queries, cfg,
+        ).collect()
+        assert _canon(got) == _canon(want)
+        chunks[label] = tuple(a.value for a in counters["_chunk_accs"])
+    # identical queries → identical survivor blocks → the physical
+    # chunk decode is deduplicated, not repeated per query
+    assert chunks["four"] == chunks["one"], chunks
