@@ -63,11 +63,24 @@ QRELS_TSV_SCHEMA = "query_id string, placeholder string, doc_id long, rel int"
 QUERIES_TSV_SCHEMA = "query_id string, text string"
 
 
+_RAW_TSV = {
+    # the reference splits raw lines on '\t' (trec_eval.py:7-20,
+    # query_bm25.py:53-62); Spark csv's default quote='"' would
+    # silently reinterpret fields with a leading double-quote, so
+    # disable quote/escape handling for byte-faithful parsing
+    "sep": "\t", "quote": "", "escape": "",
+}
+
+
 def read_qrels_tsv(spark, path: str) -> DataFrame:
     """TREC qrels TSV → (query_id, doc_id, rel).  Drop-in replacement
-    for :func:`synth_qrels` (reference ``trec_eval.py:7-20``)."""
+    for :func:`synth_qrels` (reference ``trec_eval.py:7-20``).
+    FAILFAST: a malformed row raises (as the reference's ``int()``
+    would) instead of becoming a silent null that vanishes in the
+    metrics join."""
     return (
-        spark.read.csv(path, sep="\t", schema=QRELS_TSV_SCHEMA)
+        spark.read.options(**_RAW_TSV, mode="FAILFAST")
+        .csv(path, schema=QRELS_TSV_SCHEMA)
         .select("query_id", "doc_id", "rel")
     )
 
@@ -85,8 +98,11 @@ def write_qrels_tsv(qrels: DataFrame, path: str) -> None:
 
 
 def read_queries_tsv(spark, path: str) -> DataFrame:
-    """Query TSV → (query_id, text) (reference ``query_bm25.py:53-62``)."""
-    return spark.read.csv(path, sep="\t", schema=QUERIES_TSV_SCHEMA)
+    """Query TSV → (query_id, text) (reference ``query_bm25.py:53-62``).
+    Raw-split fidelity: a query text like ``"exact phrase" search``
+    loads verbatim (no csv quote stripping)."""
+    return (spark.read.options(**_RAW_TSV)
+            .csv(path, schema=QUERIES_TSV_SCHEMA))
 
 
 def queries_dict(query_df: DataFrame) -> dict[str, str]:

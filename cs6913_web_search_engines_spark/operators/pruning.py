@@ -242,7 +242,12 @@ def search_pruned(
     if counters is not None:
         sc = spark.sparkContext
         chunk_accs = (sc.accumulator(0), sc.accumulator(0))
-        counters["_chunk_accs"] = chunk_accs   # read .value after action
+        # read .value after exactly ONE action: accumulators updated
+        # inside a transformation are at-least-once (task retries,
+        # speculation, or a second action re-executing the kernel
+        # double-count) — bench/pytest accounting only, never used for
+        # query results or planning
+        counters["_chunk_accs"] = chunk_accs
 
     # seg lists longer than this stay out of the scan predicate (an
     # isin of tens of thousands of literals bloats the plan for a

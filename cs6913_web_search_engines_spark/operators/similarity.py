@@ -146,6 +146,13 @@ def train_centroids(
         .limit(int(sample_size))
         .collect()
     )
+    if not rows or int(n_centroids) < 1:
+        # an empty sample (filtered-to-empty input) or C < 1 would
+        # otherwise surface as a cryptic numpy AxisError two lines down
+        raise ValueError(
+            f"train_centroids needs a non-empty embeddings table and "
+            f"n_centroids >= 1 (got {len(rows)} sample rows, "
+            f"n_centroids={n_centroids})")
     x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
                         np.finfo(np.float64).tiny)

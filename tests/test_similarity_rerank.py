@@ -332,3 +332,29 @@ def test_neardup_trained_centroids_finds_planted_pairs(skewed_emb, spark):
     exact = {(r["vec_a"], r["vec_b"]) for r in
              sim.neardup_pairs_exact(full, threshold=0.999).collect()}
     assert pairs <= exact
+
+
+def test_tsv_sources_raw_split_fidelity(spark, tmp_path):
+    """The reference splits raw lines on tab (trec_eval.py:7-20,
+    query_bm25.py:53-62); csv default quoting would mangle fields with
+    a leading double-quote and PERMISSIVE mode would turn a malformed
+    qrels row into a silent null that vanishes in the metrics join."""
+    qpath = tmp_path / "queries.tsv"
+    qpath.write_text('q1\t"exact phrase" retrieval\n'
+                     'q2\tback\\slash and "mid"quote\n')
+    got = em.queries_dict(em.read_queries_tsv(spark, str(qpath)))
+    assert got == {"q1": '"exact phrase" retrieval',
+                   "q2": 'back\\slash and "mid"quote'}
+
+    ok = tmp_path / "qrels_ok"
+    ok.mkdir()
+    (ok / "part.tsv").write_text("q1\t0\t42\t1\nq1\t0\t7\t0\n")
+    rows = em.read_qrels_tsv(spark, str(ok)).collect()
+    assert {(r["query_id"], r["doc_id"], r["rel"]) for r in rows} == {
+        ("q1", 42, 1), ("q1", 7, 0)}
+
+    bad = tmp_path / "qrels_bad"
+    bad.mkdir()
+    (bad / "part.tsv").write_text("q1\t0\tnot_an_int\t1\n")
+    with pytest.raises(Exception, match="(?i)failfast|malformed|cannot|parse"):
+        em.read_qrels_tsv(spark, str(bad)).collect()
