@@ -25,10 +25,10 @@ import os
 import shutil
 import time
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from cs6913_web_search_engines_spark.config import EngineConfig
+from cs6913_web_search_engines_spark.engine import build_len_lookup
 from cs6913_web_search_engines_spark.operators import index_build as ib
 from cs6913_web_search_engines_spark.operators import query_exec as qe
 from cs6913_web_search_engines_spark.session import get_spark
@@ -48,12 +48,6 @@ QUERIES = {
 }
 
 
-def _norms(spark, doc_stats):
-    pdf = doc_stats.select("doc_id", "distinct_terms").toPandas()
-    arr = np.zeros(int(pdf["doc_id"].max()) + 1, dtype=np.int32)
-    arr[pdf["doc_id"].to_numpy(np.int64)] = (
-        pdf["distinct_terms"].to_numpy(np.int32))
-    return spark.sparkContext.broadcast(arr)
 
 
 def main() -> None:
@@ -80,7 +74,7 @@ def main() -> None:
     docs = spark.read.parquet(drops_all)
     doc_stats = ib.build_doc_stats(docs, ib.build_postings(docs))
     stats = ib.corpus_stats(doc_stats, cfg)
-    norms = _norms(spark, doc_stats)
+    norms = build_len_lookup(spark, doc_stats)
     # warm python workers
     spark.range(0, CPUS * 4, 1, CPUS * 4).mapInPandas(
         lambda it: (pdf for pdf in it), "id long").count()

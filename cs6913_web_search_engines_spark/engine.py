@@ -38,6 +38,30 @@ from cs6913_web_search_engines_spark.operators import (
 # Above this many docs the dense norms array stops being a sane
 # executor-RAM resident (int32 → 4 bytes/doc; 64 M ≈ 256 MB).
 NORMS_IN_RAM_MAX_DOCS = 64_000_000
+
+
+def build_len_lookup(spark, doc_stats, len_col: str = "distinct_terms"):
+    """Dense doc_id → doc_len int32 array, broadcast once (the
+    reference's RAM page table, PageTable.cpp:75-106).  Falls back to
+    None (join path) when doc ids are too sparse for a dense array —
+    the single hardened implementation shared by QueryEngine and the
+    bench harnesses."""
+    pdf = doc_stats.select("doc_id", len_col).toPandas()
+    if len(pdf) == 0:
+        return None
+    max_id = int(pdf["doc_id"].max())
+    # dense-slot budget = the SAME ceiling that gates norms_in_ram
+    # (int32 slots, 256 MB at 64 M): the old 4×-doc-count sparsity
+    # allowance let a 25%-dense 64 M-doc id space allocate 4× the
+    # documented broadcast budget
+    if (max_id + 1 > 4 * max(len(pdf), 1)
+            or max_id + 1 > NORMS_IN_RAM_MAX_DOCS
+            or max_id >= 1 << 31):
+        return None  # sparse/huge id space — dense array would balloon
+    arr = np.zeros(max_id + 1, dtype=np.int32)
+    arr[pdf["doc_id"].to_numpy(np.int64)] = pdf[len_col].to_numpy(np.int32)
+    return spark.sparkContext.broadcast(arr)
+
 # Candidate-posting volume below which the driver-local executor wins:
 # collecting the few candidate blocks (JVM-only scan, no Python
 # workers) and scoring them with numpy against the resident norms
@@ -114,27 +138,9 @@ class QueryEngine:
         self._postings_cache_n = 0
 
     def _build_len_lookup(self):
-        """Dense doc_id → doc_len int32 array, broadcast once (the
-        reference's RAM page table, PageTable.cpp:75-106).  Falls back
-        to None (join path) when doc ids are too sparse for a dense
-        array."""
         len_col = ("distinct_terms" if self.cfg.length_norm == "hw3"
                    else "byte_len")
-        pdf = self.doc_stats.select("doc_id", len_col).toPandas()
-        if len(pdf) == 0:
-            return None
-        max_id = int(pdf["doc_id"].max())
-        # dense-slot budget = the SAME ceiling that gates norms_in_ram
-        # (int32 slots, 256 MB at 64 M): the old 4×-doc-count sparsity
-        # allowance let a 25%-dense 64 M-doc id space allocate 4× the
-        # documented broadcast budget
-        if (max_id + 1 > 4 * max(len(pdf), 1)
-                or max_id + 1 > NORMS_IN_RAM_MAX_DOCS
-                or max_id >= 1 << 31):
-            return None  # sparse/huge id space — dense array would balloon
-        arr = np.zeros(max_id + 1, dtype=np.int32)
-        arr[pdf["doc_id"].to_numpy(np.int64)] = pdf[len_col].to_numpy(np.int32)
-        return self.spark.sparkContext.broadcast(arr)
+        return build_len_lookup(self.spark, self.doc_stats, len_col)
 
     def _search_local(self, queries: dict[str, str], dfs: dict[str, int],
                       conjunctive: bool, mode: str) -> DataFrame:
