@@ -21,9 +21,6 @@ rank-identical.
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
