@@ -138,16 +138,38 @@ def run_incremental_build(
         # staging dir must be LOCAL — under `out` only when out is a
         # local path (os.makedirs on a URI string would create a
         # literal ./file:/... directory under the CWD).
+        import hashlib
+
         if "://" in out:
+            # STABLE per-out staging dir (not mkdtemp): the file
+            # stream's seen-files log keys on absolute path, so a
+            # fresh temp dir per drain would re-ingest the same file
+            # as a new path every call, duplicating postings
             import tempfile
 
-            src = tempfile.mkdtemp(prefix="spark_docs_src_")
+            src = os.path.join(
+                tempfile.gettempdir(),
+                "spark_docs_src_"
+                + hashlib.md5(out.encode()).hexdigest()[:16])
         else:
             src = os.path.join(out, "_src")
-            os.makedirs(src, exist_ok=True)
-        link = os.path.join(src, os.path.basename(docs_dir))
-        if not os.path.exists(link):
-            os.symlink(docs_dir, link)
+        os.makedirs(src, exist_ok=True)
+        # link name keyed on the RESOLVED source: a later drain passing
+        # a different file with the same basename must surface as a
+        # NEW path to the seen-files log (a basename-keyed link would
+        # silently never index it), while re-drains of the same file
+        # reuse their link and stay exactly-once
+        real = os.path.realpath(docs_dir)
+        link = os.path.join(
+            src, hashlib.md5(real.encode()).hexdigest()[:16]
+            + "_" + os.path.basename(docs_dir))
+        if os.path.lexists(link):
+            if not os.path.exists(link):
+                raise FileNotFoundError(
+                    f"staged docs symlink {link} dangles: source "
+                    f"{real} was removed after a prior drain")
+        else:
+            os.symlink(real, link)
         docs_dir = src
     postings = stream_postings(spark, docs_dir)
 
@@ -251,7 +273,7 @@ def run_incremental_build(
         blocks_new = bc.encode_index(runs, cfg)
         gen = max(new_runs)
         stage = join(out, f"_finalize_stage_gen{gen}")
-        blocks_new.write.partitionBy("shard").mode("overwrite").parquet(stage)
+        bc.write_index(blocks_new, stage)   # canonical shard layout
         # this generation's per-term lexicon delta, aggregated from the
         # STAGED metadata (payload columns pruned) and pinned eagerly —
         # the stage files are consumed by the install renames below.
@@ -336,7 +358,13 @@ def run_incremental_build(
     return {
         "n_batches": len(all_runs),
         "n_new_runs": len(new_runs),
-        "n_postings": int(blocks.agg(F.sum("n_postings")).collect()[0][0] or 0),
+        # Σ df over the (just-maintained) lexicon == Σ block
+        # n_postings, at one row per TERM instead of a full-index
+        # block-metadata scan per drain — keeps the whole drain
+        # O(new postings) + O(lexicon)
+        "n_postings": int(
+            spark.read.parquet(lex_dir).agg(F.sum("df"))
+            .collect()[0][0] or 0),
         "out": out,
         "lexicon_mode": lexicon_mode,
         **compact_stats,
@@ -407,6 +435,27 @@ def compact_index(
     # Recovery from a crash inside a previous swap loop: any shard
     # stashed aside but never replaced is restored before we read.
     _restore_compact_stash(fs, join, index_dir)
+    # Refuse to fold UNCOMMITTED generations into plain shard files: a
+    # finalize that crashed between the gen installs and snapshot #1
+    # leaves gen files whose id is not in the snapshot — the next
+    # drain's cleanup deletes + re-encodes them, but compaction here
+    # would erase the gen prefix the rollback keys on, so those runs'
+    # postings would be installed a second time and become permanently
+    # indistinguishable duplicates.  The repair lives in
+    # run_incremental_build; run it (even on zero new input) first.
+    fin = fs.read_json_or_none(join(out, "_finalized.json")) or {}
+    committed = set(fin.get("gens", []))
+    if fs.is_dir(index_dir):
+        for shard_name in fs.list_names(index_dir):
+            if not shard_name.startswith("shard="):
+                continue
+            for f in fs.list_names(join(index_dir, shard_name)):
+                if (f.startswith("gen-") and f.endswith(".parquet")
+                        and int(f.split("-", 3)[1]) not in committed):
+                    raise RuntimeError(
+                        f"uncommitted generation file {shard_name}/{f} "
+                        "(crashed finalize) — run run_incremental_build "
+                        "to repair before compact_index")
     blocks = spark.read.parquet(index_dir)
     frag = (
         blocks.groupBy("term", "seg")
@@ -442,7 +491,7 @@ def compact_index(
     staged = keep_rows.select(*cols).unionByName(redone.select(*cols))
     tmp = index_dir + ".compact_tmp"
     fs.delete_tree(tmp)
-    staged.write.partitionBy("shard").mode("overwrite").parquet(tmp)
+    bc.write_index(staged, tmp)   # canonical shard layout
     # Crash-safe swap: stash the live shard aside (atomic rename to a
     # sibling dir, OUTSIDE index_dir so partition discovery never sees
     # it), install the rewrite (atomic rename), delete stashes last.

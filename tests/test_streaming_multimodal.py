@@ -459,3 +459,103 @@ def test_incremental_build_empty_input_is_a_noop(spark, tmp_path):
     stats = si.run_incremental_build(spark, src, out, EngineConfig())
     assert stats == {"n_batches": 0, "n_new_runs": 0, "n_postings": 0,
                      "out": out}
+
+
+def test_uri_out_single_file_redrain_is_exactly_once(spark, documents,
+                                                     tmp_path):
+    """URI out + a single-FILE docs input hits the tempdir staging
+    branch; a fresh mkdtemp per drain used to present the same file
+    under a new absolute path each call, so the stream's seen-files
+    log re-ingested it and every drain doubled the postings.  The
+    staging dir is now stable per `out` and link names key on the
+    resolved source path."""
+    import glob
+    import os
+
+    src_dir = str(tmp_path / "one")
+    documents.coalesce(1).write.parquet(src_dir)
+    one_file = glob.glob(os.path.join(src_dir, "part-*.parquet"))[0]
+    out = "file://" + str(tmp_path / "idx")
+    s1 = si.run_incremental_build(spark, one_file, out, EngineConfig())
+    s2 = si.run_incremental_build(spark, one_file, out, EngineConfig())
+    assert s1["n_postings"] > 0
+    assert s2["n_postings"] == s1["n_postings"]
+    assert s2["n_batches"] == s1["n_batches"]
+
+
+def test_single_file_same_basename_new_source_is_indexed(spark, documents,
+                                                         tmp_path):
+    """A second drain passing a DIFFERENT file that happens to share
+    the first file's basename must be ingested (the old basename-keyed
+    symlink silently skipped it)."""
+    import os
+    import shutil as sh
+
+    half1 = documents.filter("doc_id % 2 = 0")
+    half2 = documents.filter("doc_id % 2 = 1")
+    d1, d2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    half1.coalesce(1).write.parquet(d1)
+    half2.coalesce(1).write.parquet(d2)
+    import glob
+    f1 = glob.glob(os.path.join(d1, "part-*.parquet"))[0]
+    f2 = glob.glob(os.path.join(d2, "part-*.parquet"))[0]
+    # force the SAME basename in different directories
+    s1p = str(tmp_path / "drop1"); os.makedirs(s1p)
+    s2p = str(tmp_path / "drop2"); os.makedirs(s2p)
+    sh.copy(f1, os.path.join(s1p, "docs.parquet"))
+    sh.copy(f2, os.path.join(s2p, "docs.parquet"))
+    out = str(tmp_path / "idx")
+    si.run_incremental_build(spark, os.path.join(s1p, "docs.parquet"),
+                             out, EngineConfig())
+    s2 = si.run_incremental_build(spark, os.path.join(s2p, "docs.parquet"),
+                                  out, EngineConfig())
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple,
+                      ib.build_lexicon(ib.build_postings(documents)).collect()))
+    assert got == want, "second source with same basename was not indexed"
+    assert s2["n_batches"] == 2
+
+
+def test_compact_index_refuses_uncommitted_generation(spark, documents,
+                                                      tmp_path):
+    """Compacting an index holding an orphan (un-snapshotted) gen file
+    would fold it into plain shard files that the next drain's
+    rollback can no longer find — the postings would then install
+    twice.  compact_index must refuse and point at the repair path."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    src = str(tmp_path / "drops")
+    half1 = documents.filter("doc_id % 2 = 0")
+    half2 = documents.filter("doc_id % 2 = 1")
+    half1.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "idx")
+    cfg = EngineConfig()
+    si.run_incremental_build(spark, src, out, cfg)
+    snap1 = open(os.path.join(out, "_finalized.json")).read()
+    half2.coalesce(1).write.mode("append").parquet(src)
+    si.run_incremental_build(spark, src, out, cfg)
+    # simulate the second finalize crashing between the gen installs
+    # and snapshot #1: the snapshot on disk is still drain 1's, while
+    # drain 2's gen files are already installed
+    fin1 = json.loads(snap1)
+    gen2 = max(json.load(open(os.path.join(out, "_finalized.json")))["gens"])
+    assert gen2 not in fin1["gens"]
+    victim = glob.glob(os.path.join(out, "index", "shard=*",
+                                    f"gen-{gen2}-*.parquet"))[0]
+    open(os.path.join(out, "_finalized.json"), "w").write(snap1)
+    with pytest.raises(RuntimeError, match="uncommitted generation"):
+        si.compact_index(spark, out, cfg, max_generations=1)
+    assert os.path.exists(victim)  # refusal left the index untouched
+    # the documented repair: a drain rolls the orphan back and
+    # re-finalizes; compaction then proceeds and the lexicon matches
+    # the batch build over the full corpus
+    si.run_incremental_build(spark, src, out, cfg)
+    si.compact_index(spark, out, cfg, max_generations=1)
+    got = sorted(map(tuple, spark.read.parquet(out + "/lexicon").collect()))
+    want = sorted(map(tuple,
+                      ib.build_lexicon(ib.build_postings(documents)).collect()))
+    assert got == want
