@@ -56,49 +56,13 @@ def _encode_group(term: str, seg: int, doc_ids: np.ndarray,
                   tfs: np.ndarray, cfg: EngineConfig) -> list[dict]:
     """Encode one (term, seg) posting run into block rows.
 
-    One vectorized VarByte pass over the whole run (per-chunk sizes
-    via ``reduceat``) — the former per-64-posting ``encode`` calls
-    dominated build CPU at ~100 µs numpy overhead each.
+    Delegates to the group-aware batched encoder with a single group —
+    ONE packing/chunk-grid implementation (greedy ≤ block_bytes blocks,
+    16 B metadata per chunk, per-chunk delta resets) instead of two
+    copies whose invariants would have to be edited in lockstep; the
+    fused ≡ staged ≡ streaming byte-identity tests pin the equality.
     """
-    chunk = cfg.postings_per_chunk
-    n = doc_ids.size
-    gaps = varbyte.delta_encode(doc_ids, chunk)
-    gap_buf, gap_sizes = varbyte.encode_chunked(gaps, chunk)
-    tf_buf, tf_sizes = varbyte.encode_chunked(tfs, chunk)
-
-    starts = np.arange(0, n, chunk)
-    ends = np.minimum(starts + chunk, n)
-    last_docs = doc_ids[ends - 1]
-    counts = ends - starts
-    max_tfs = np.maximum.reduceat(tfs, starts)
-    gap_offs = np.zeros(starts.size + 1, dtype=np.int64)
-    np.cumsum(gap_sizes, out=gap_offs[1:])
-    tf_offs = np.zeros(starts.size + 1, dtype=np.int64)
-    np.cumsum(tf_sizes, out=tf_offs[1:])
-
-    # Greedy block packing: add whole chunks while total payload +
-    # metadata stays under block_bytes (Lexicon.cpp:181-233 semantics,
-    # 16 bytes of metadata per chunk like the reference's 3x uint32 +
-    # amortized header).
-    rows: list[dict] = []
-    block_id = 0
-    a = 0  # first chunk of the current block
-    block_bytes = 0
-    for ci in range(starts.size):
-        sz = int(gap_sizes[ci] + tf_sizes[ci]) + 16
-        if ci > a and block_bytes + sz > cfg.block_bytes:
-            rows.append(_chunkrange_row(term, seg, block_id, a, ci, doc_ids,
-                                   starts, last_docs, counts, max_tfs,
-                                   gap_buf, gap_offs, tf_buf, tf_offs))
-            block_id += 1
-            a = ci
-            block_bytes = 0
-        block_bytes += sz
-    if starts.size:
-        rows.append(_chunkrange_row(term, seg, block_id, a, starts.size, doc_ids,
-                               starts, last_docs, counts, max_tfs,
-                               gap_buf, gap_offs, tf_buf, tf_offs))
-    return rows
+    return _encode_seg_batch(seg, [term], [doc_ids], [tfs], cfg)
 
 
 def _encode_seg_batch(seg: int, terms: list[str],
