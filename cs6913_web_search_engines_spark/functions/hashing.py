@@ -63,7 +63,16 @@ def seeded_hash_sql(seed_expr: str, expr: str) -> str:
 # Spark-side: used inside a transform(...) lambda over the bit index,
 # so it is expressed as a SQL-expr template over names, not Columns.
 def bit_expr_spark(s_expr: str, b_expr: str) -> str:
-    nib = f"conv(substr(md5({s_expr}), 1 + CAST({b_expr} / 4 AS INT), 1), 16, 10)"
+    return bit_expr_spark_hex(f"md5({s_expr})", b_expr)
+
+
+def bit_expr_spark_hex(hex_expr: str, b_expr: str) -> str:
+    """Same bit formula over an ALREADY-md5'd hex column: transform
+    lambdas are evaluated interpreted with no common-subexpression
+    hoisting across iterations, so embedding md5() in the per-bit expr
+    hashes the same term 64× per row — callers project md5 once and
+    pass the column here."""
+    nib = f"conv(substr({hex_expr}, 1 + CAST({b_expr} / 4 AS INT), 1), 16, 10)"
     return f"CAST((shiftright(CAST({nib} AS INT), {b_expr} % 4)) & 1 AS INT)"
 
 

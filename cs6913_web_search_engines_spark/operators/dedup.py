@@ -319,6 +319,13 @@ def minhash_lsh_pairs(
     reducer hot-spots; verification joins candidates back to the
     shingle index (semi-join pattern, never all-pairs).
     """
+    if bands < 1 or bands > k or k % bands:
+        # k % bands would silently drop the signature tail from every
+        # band; bands > k would make r = 0, every band key empty, and
+        # the bucket join an all-pairs explosion
+        raise ValueError(
+            f"bands must divide k with 1 <= bands <= k "
+            f"(got k={k}, bands={bands})")
     r = k // bands
     sig = minhash_signatures(documents, n, k)
     bandtab = sig.select(
@@ -423,12 +430,17 @@ def _simhash_bitsums(postings: DataFrame) -> DataFrame:
     (which must stay bit-identical for the parity test to mean
     anything)."""
     contrib = postings.select(
+        # md5 projected ONCE per posting row; the transform lambda is
+        # interpreted per bit with no cross-iteration hoisting, so an
+        # inline md5(term) would hash the same term 64× per row
+        "doc_id", "tf", F.md5("term").alias("th"),
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(
                 "transform(sequence(0, {m}), b -> tf * (2 * {bit} - 1))".format(
                     m=SIMHASH_BITS - 1,
-                    bit=hashing.bit_expr_spark("term", "b"),
+                    bit=hashing.bit_expr_spark_hex("th", "b"),
                 )
             )
         ).alias("b", "c"),

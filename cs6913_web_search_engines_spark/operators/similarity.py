@@ -235,7 +235,12 @@ def _centroid_matrix(embeddings: DataFrame, n_centroids: int):
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
-    return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # clamp like the member-side norms: an all-zero (untrained) centroid
+    # row would otherwise become a NaN sims column — argmax then assigns
+    # EVERY vector to it while argsort ranks it last in probe order
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                       np.finfo(np.float64).tiny)
+    return ids, mat / norms
 
 
 def _resolve_method(n_centroids: int, method: str | None) -> str:

@@ -33,26 +33,32 @@ SL_WHITELIST = ("ac", "ai", "biz", "co", "com", "cri", "edu", "govt", "health",
                 "info", "int", "io", "mil", "net", "org", "tech", "xyz")
 
 # Shared column SQL (valid in both Spark SQL and DuckDB), parametric
-# in the column so the same surgery applies to page urls and links:
+# in the column so the same surgery applies to page urls and links.
+# Patterns are written BACKSLASH-FREE (literal dot = [.], ? literal
+# inside classes): Spark's SQL parser treats backslash in a
+# single-quoted literal as an escape while DuckDB keeps it, so
+# '^www\.' silently ran as '^www.' (any char) in Spark only —
+# stripping 'www2'/'wwwx' prefixes and mismatching the oracle on any
+# host matching ^www[^.]:
 
 
 def _host_of(c: str) -> str:    # F8 web_crawler.py:163-170
-    return f"regexp_extract({c}, '^[a-z]+://([^/\\?#]+)', 1)"
+    return f"regexp_extract({c}, '^[a-z]+://([^/?#]+)', 1)"
 
 
 def _path_of(c: str) -> str:
-    return f"regexp_extract({c}, '^[a-z]+://[^/\\?#]+([^\\?#]*)', 1)"
+    return f"regexp_extract({c}, '^[a-z]+://[^/?#]+([^?#]*)', 1)"
 
 
 def _min_of(c: str) -> str:
     # F7 web_crawler.py:559-584: '//' + lower(host)-www. + path-rstrip-/
     return (
-        f"concat('//', regexp_replace(lower({_host_of(c)}), '^www\\.', ''), "
+        f"concat('//', regexp_replace(lower({_host_of(c)}), '^www[.]', ''), "
         f"regexp_replace({_path_of(c)}, '/+$', ''))"
     )
 
 
-_NORM = "regexp_replace(url, '[\\?#].*$', '')"                 # F6 web_crawler.py:542-556
+_NORM = "regexp_replace(url, '[?#].*$', '')"                 # F6 web_crawler.py:542-556
 _HOST = _host_of("url")
 _PATH = _path_of("url")
 _MIN = _min_of("url")
@@ -60,7 +66,7 @@ _MIN = _min_of("url")
 
 def _sl_sql(host_expr: str) -> str:
     # second-last label: 'example.co.nz' → 'co' (web_crawler.py:187-196)
-    return f"regexp_extract({host_expr}, '([^\\.]+)\\.[^\\.]+$', 1)"
+    return f"regexp_extract({host_expr}, '([^.]+)[.][^.]+$', 1)"
 
 
 def url_features(pages: DataFrame) -> DataFrame:
@@ -235,6 +241,15 @@ _RESOLVE = (
     "WHEN regexp_extract(raw_link, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) <> '' "
     "THEN raw_link "
     f"WHEN raw_link LIKE '/%' THEN concat({_SCHEME}, '://', {_HOST}, raw_link) "
+    # query-only / fragment-only hrefs resolve against the FULL base
+    # URL, not its directory (urljoin: '?page=2' replaces the base's
+    # query keeping the page path; '#sec' keeps path AND query) — the
+    # extremely common pagination/anchor hrefs used to collapse to the
+    # base dir, minting phantom frontier urls
+    "WHEN raw_link LIKE '?%' "
+    "THEN concat(regexp_replace(url, '[?#].*$', ''), raw_link) "
+    "WHEN raw_link LIKE '#%' "
+    "THEN concat(regexp_replace(url, '#.*$', ''), raw_link) "
     "WHEN raw_link = '' THEN url "
     f"ELSE concat({_SCHEME}, '://', {_HOST}, {_BASE_DIR_SAFE}, raw_link) END"
 )

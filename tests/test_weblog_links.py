@@ -157,3 +157,27 @@ def test_scalable_minting_dense_and_repeatable(spark, documents):
     assert sorted(ids) == list(range(len(ids)))   # dense 0..N-1
     by_url = [d for _, d in sorted(a)]
     assert by_url == sorted(by_url)               # url order
+
+
+def test_resolve_matches_urljoin_on_query_fragment_and_host_shapes(spark):
+    """Pin _RESOLVE (shared verbatim with the DuckDB oracle twin)
+    against urllib.parse.urljoin for the href shapes it claims to
+    cover — including query-only ('?page=2') and fragment-only
+    ('#sec') hrefs, which used to resolve against the base DIRECTORY
+    instead of the full base URL."""
+    from urllib.parse import urljoin
+
+    base = "https://www2.a.example.nz/dir/page.html?q=1"
+    hrefs = ["https://b.example.nz/x.html", "//cdn.example.nz/lib.js",
+             "/root.html", "sub.html", "?page=2", "#sec", "?page=2#top",
+             "mailto:x@example.nz", ""]
+    html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    pages = _pages(spark, [(base, html)])
+    got = {r["link"] for r in weblog.extract_links(pages).collect()}
+    want = set()
+    for h in hrefs:
+        if h.startswith("mailto:"):
+            want.add(h)          # foreign scheme passes through for
+            continue             # the validity filter to drop
+        want.add(urljoin(base, h))
+    assert got == want, got.symmetric_difference(want)
