@@ -87,13 +87,21 @@ def read_qrels_tsv(spark, path: str) -> DataFrame:
 
 def write_qrels_tsv(qrels: DataFrame, path: str) -> None:
     """(query_id, doc_id, rel) → the reference's 4-column qrels TSV
-    (placeholder column fixed to '0', as in MS MARCO qrels)."""
+    (placeholder column fixed to '0', as in MS MARCO qrels).
+
+    Quoting is DISABLED on the writer to match the raw-split reader
+    (``_RAW_TSV``): the csv default quote='"' would wrap a query_id
+    containing a double-quote, which the quote-free reader would then
+    load with literal quote characters — a silently corrupted round
+    trip.  Fields containing the separator itself (tab/newline) are
+    outside the TREC format's contract, same as in the reference's
+    plain ``'\\t'.split`` files."""
     (
         qrels.select(
             "query_id", F.lit("0").alias("placeholder"),
             F.col("doc_id").cast("string"), F.col("rel").cast("string"),
         )
-        .write.mode("overwrite").option("sep", "\t").csv(path)
+        .write.mode("overwrite").options(**_RAW_TSV).csv(path)
     )
 
 

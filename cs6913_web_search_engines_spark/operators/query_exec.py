@@ -381,8 +381,17 @@ def segment_topk_candidates(
                 if chunk_skip and ccounts is not None:
                     cc = np.asarray(ccounts, dtype=np.int64)
                     n_kept = cc.size
+                    # Mixed-generation guard: rows encoded before the
+                    # per-chunk byte-size arrays existed read as null
+                    # under the new schema — they can't be chunk-cut
+                    # (no random access without the sizes), so fall
+                    # back to full-block decode instead of raising on
+                    # np.asarray(None).
                     if (cut is not None and not pd.isna(cut)
-                            and idfs[term] > 0):
+                            and idfs[term] > 0
+                            and cmaxtfs is not None
+                            and cgbytes is not None
+                            and ctbytes is not None):
                         mt = np.asarray(cmaxtfs, dtype=np.float64)
                         ub_c = idfs[term] * (k1 + 1.0) * mt / (k_min_len + mt)
                         # 1e-9 margin: cross-engine ULP drift may only

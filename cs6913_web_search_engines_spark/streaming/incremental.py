@@ -144,13 +144,24 @@ def run_incremental_build(
             # STABLE per-out staging dir (not mkdtemp): the file
             # stream's seen-files log keys on absolute path, so a
             # fresh temp dir per drain would re-ingest the same file
-            # as a new path every call, duplicating postings
+            # as a new path every call, duplicating postings.  The
+            # root is per-USER and owner-only (0700, ownership
+            # verified): a predictable world-shared path in /tmp is a
+            # squatting/symlink-ingestion surface on multi-user hosts.
+            import stat
             import tempfile
 
+            root = os.path.join(tempfile.gettempdir(),
+                                f"spark_docs_src_u{os.getuid()}")
+            os.makedirs(root, mode=0o700, exist_ok=True)
+            st = os.lstat(root)
+            if stat.S_ISLNK(st.st_mode) or st.st_uid != os.getuid():
+                raise PermissionError(
+                    f"staging root {root} exists but is not an owned "
+                    "directory (squatted?) — remove it or set TMPDIR")
+            os.chmod(root, 0o700)
             src = os.path.join(
-                tempfile.gettempdir(),
-                "spark_docs_src_"
-                + hashlib.md5(out.encode()).hexdigest()[:16])
+                root, hashlib.md5(out.encode()).hexdigest()[:16])
         else:
             src = os.path.join(out, "_src")
         os.makedirs(src, exist_ok=True)
@@ -170,6 +181,15 @@ def run_incremental_build(
                     f"{real} was removed after a prior drain")
         else:
             os.symlink(real, link)
+        # prune links for sources no longer passed: already-ingested
+        # paths live in the stream's seen-files log, so a source
+        # re-passed later recreates the same link name and stays
+        # exactly-once — without pruning the staging dir grows one
+        # symlink per distinct source forever
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if os.path.islink(p) and name != os.path.basename(link):
+                os.remove(p)
         docs_dir = src
     postings = stream_postings(spark, docs_dir)
 
