@@ -121,15 +121,42 @@ def queries_dict(query_df: DataFrame) -> dict[str, str]:
     return {r["query_id"]: r["text"] or "" for r in query_df.collect()}
 
 
+def trec_eval_rank(run: DataFrame) -> DataFrame:
+    """Re-rank a scored run per trec_eval's own sort convention:
+    score DESC, then document id as a STRING in DESCENDING order.
+
+    trec_eval (and hence pytrec_eval, the reference's quality oracle —
+    ``trec_eval.py:40-59``) ignores the run file's rank column and
+    re-sorts internally with this exact tiebreak.  The engine's native
+    tiebreak is doc_id ASC — rank-identical to the reference ENGINE
+    (QueryProcessor.cpp) — so on runs containing score ties the two
+    conventions assign different ranks and MAP/NDCG/MRR can differ.
+    Evaluate ``trec_metrics(trec_eval_rank(run), qrels)`` to reproduce
+    pytrec_eval's numbers exactly (pinned to 1e-9 on a tied fixture by
+    tests/test_similarity_rerank.py::test_trec_metrics_pytrec_conventions).
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").cast("string").desc())
+    return run.withColumn("rank", F.row_number().over(w))
+
+
 def trec_metrics(run: DataFrame, qrels: DataFrame,
-                 ks: tuple[int, ...] = (10, 100)) -> DataFrame:
+                 ks: tuple[int, ...] = (10, 100),
+                 dp: int | None = 6) -> DataFrame:
     """run(query_id, doc_id, rank) × qrels → per-query
     (query_id, n_rel, rr, ap, ndcg_<k>..., recall_<k>...), 6 dp —
     the reference report's column set (HW3 Table 1: MAP, MRR,
     NDCG@10/@100, Recall@100) at ``ks = (10, 100)``.
 
     Queries present in the run but with zero qrels get NULL metrics
-    (pytrec_eval drops them; we surface them explicitly).
+    (pytrec_eval drops them; we surface them explicitly).  The metric
+    math follows pytrec_eval's conventions — linear-gain NDCG with
+    1/log2(rank+1) discount, AP normalized by |qrels|, means over
+    judged queries only — verified per metric per query to 1e-9
+    against a vendored trec_eval re-statement (``dp=None`` disables
+    the 6-dp report rounding for such comparisons).  Rank convention
+    is the caller's: pass the run through :func:`trec_eval_rank` first
+    to reproduce trec_eval's own tie ordering.
     """
     r_tot = qrels.groupBy("query_id").agg(F.count("*").alias("n_rel"))
     hits = run.join(qrels.select("query_id", "doc_id", "rel"),
@@ -157,19 +184,22 @@ def trec_metrics(run: DataFrame, qrels: DataFrame,
             "(acc, i) -> acc + 1.0 / log2(i + 1))"
         )
 
+    def _r(col):
+        return F.round(col, dp) if dp is not None else col
+
     cols = [
         "query_id",
         F.coalesce("n_rel", F.lit(0)).cast("int").alias("n_rel"),
-        F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias("rr"),
+        _r(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))).alias("rr"),
         F.when(F.col("n_rel") > 0,
-               F.round(F.col("ap_num") / F.col("n_rel"), 6)).alias("ap"),
+               _r(F.col("ap_num") / F.col("n_rel"))).alias("ap"),
     ]
     for k in ks:
         cols.append(F.when(F.col("n_rel") > 0,
-                           F.round(F.col(f"dcg_{k}") / idcg(k), 6))
+                           _r(F.col(f"dcg_{k}") / idcg(k)))
                     .alias(f"ndcg_{k}"))
         cols.append(F.when(F.col("n_rel") > 0,
-                           F.round(F.col(f"hits_{k}") / F.col("n_rel"), 6))
+                           _r(F.col(f"hits_{k}") / F.col("n_rel")))
                     .alias(f"recall_{k}"))
     return per_q.join(r_tot, "query_id", "left").select(*cols)
 

@@ -163,18 +163,94 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def default_video_decoder():
+    """Soft-import a video codec → callable ``bytes -> (width, height,
+    n_frames)``, or None when no codec is importable.
+
+    Tries PyAV first (container-native, bytes-in), then ``imageio.v3``
+    (which itself fronts pyav/ffmpeg), then OpenCV (file-path API —
+    bytes spill to a private temp file).  Resolved INSIDE the executor
+    kernel so the driver env doesn't have to match the workers."""
+    try:
+        import av  # noqa: F401
+
+        def _via_av(buf: bytes):
+            import io as _io
+
+            import av as _av
+
+            with _av.open(_io.BytesIO(buf)) as c:
+                s = c.streams.video[0]
+                n = int(s.frames or 0)
+                if n == 0:  # container without a frame count: walk it
+                    n = sum(1 for _ in c.decode(s))
+                return int(s.width), int(s.height), n
+
+        return _via_av
+    except ImportError:
+        pass
+    try:
+        import imageio.v3  # noqa: F401
+
+        def _via_imageio(buf: bytes):
+            import imageio.v3 as iio
+
+            props = iio.improps(buf, index=...)
+            n, h, w = int(props.shape[0]), int(props.shape[1]), int(props.shape[2])
+            return w, h, n
+
+        return _via_imageio
+    except ImportError:
+        pass
+    try:
+        import cv2  # noqa: F401
+
+        def _via_cv2(buf: bytes):
+            import os
+            import tempfile
+
+            import cv2 as _cv2
+
+            fd, tmp = tempfile.mkstemp(suffix=".mp4")
+            try:
+                os.write(fd, buf)
+                os.close(fd)
+                cap = _cv2.VideoCapture(tmp)
+                try:
+                    if not cap.isOpened():
+                        raise ValueError("unreadable video container")
+                    w = int(cap.get(_cv2.CAP_PROP_FRAME_WIDTH))
+                    h = int(cap.get(_cv2.CAP_PROP_FRAME_HEIGHT))
+                    n = int(cap.get(_cv2.CAP_PROP_FRAME_COUNT))
+                finally:
+                    cap.release()
+                return w, h, n
+            finally:
+                os.unlink(tmp)
+
+        return _via_cv2
+    except ImportError:
+        return None
+
+
+def decode_media(media: DataFrame, video_decoder=None) -> DataFrame:
     """Decode payloads to typed dimensions via soft-imported codecs.
 
     Per kind: **audio** decodes with the stdlib ``wave`` module
     (always available — RIFF/WAVE header parse, sample/channel
     counts); **image** decodes with PIL when importable; **video**
-    needs ``av``, never shipped here.  A missing codec or an
+    decodes through the first importable of ``av`` / ``imageio.v3`` /
+    ``cv2`` (``default_video_decoder``) — width, height and frame
+    count (frames land in ``n_samples``).  A missing codec or an
     unparseable payload yields ``ok=false`` with the reason in ``err``
     instead of raising — the pipeline contract at 100 TB, where some
     fraction of payloads is always corrupt and a per-row raise would
     kill the job.  The kernel shape (Arrow batches in, flat typed rows
-    out) is the same plumbing ``extract_features`` exercises."""
+    out) is the same plumbing ``extract_features`` exercises.
+
+    ``video_decoder``: picklable ``bytes -> (width, height, n_frames)``
+    override — lets a cluster ship its own codec shim, and lets the
+    codec-present branch be tested in codec-free environments."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -184,6 +260,8 @@ def decode_media(media: DataFrame) -> DataFrame:
             from PIL import Image
         except ImportError:
             Image = None
+        vdec = (video_decoder if video_decoder is not None
+                else default_video_decoder())
 
         cols = ["media_id", "kind", "ok", "width", "height",
                 "n_samples", "n_channels", "err"]
@@ -211,7 +289,11 @@ def decode_media(media: DataFrame) -> DataFrame:
                             nc = int(wf.getnchannels())
                             ok = True
                     else:
-                        err = "codec-unavailable:av"
+                        if vdec is None:
+                            err = "codec-unavailable:av"
+                        else:
+                            w, h, ns = (int(x) for x in vdec(buf))
+                            ok = True
                 except Exception as exc:  # corrupt payload → row, not raise
                     err = f"decode-error:{type(exc).__name__}"
                 rows.append((mid, kind, ok, w, h, ns, nc, err))
