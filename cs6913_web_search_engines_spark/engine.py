@@ -112,9 +112,17 @@ class QueryEngine:
             # doc_id (the 10^12-doc regime uses a bucketed layout)
             broadcast_doc_stats = self.stats["total_docs"] <= 2_000_000
         self.broadcast_doc_stats = broadcast_doc_stats
-        self.lexicon = spark.read.parquet(fs.join(index_dir, "lexicon"))
+        # manifest-committed indexes (object-store maintenance —
+        # sources/manifest_commit) resolve the live file set through
+        # the pointer; rename-mode indexes scan the directories
+        from cs6913_web_search_engines_spark.sources import manifest_commit
+        mblocks = manifest_commit.read_blocks(spark, index_dir, fs=fs)
+        mlex = manifest_commit.read_lexicon(spark, index_dir, fs=fs)
+        self.lexicon = (mlex if mlex is not None
+                        else spark.read.parquet(fs.join(index_dir, "lexicon")))
         self.doc_stats = spark.read.parquet(fs.join(index_dir, "doc_stats"))
-        self.blocks = spark.read.parquet(self.index_path)
+        self.blocks = (mblocks if mblocks is not None
+                       else spark.read.parquet(self.index_path))
         if cache:
             self.lexicon = self.lexicon.cache()
             self.doc_stats = self.doc_stats.cache()

@@ -103,7 +103,11 @@ class FsShim:
             if self.exists(p):
                 try:
                     return json.loads(self.read_text(p))
-                except ValueError:
+                except Exception:
+                    # unparseable OR unreadable (a torn out-of-band
+                    # rewrite leaves Hadoop's local filesystem with a
+                    # stale .crc sidecar → ChecksumException): same
+                    # treat-as-absent direction either way
                     continue
         return None
 
@@ -139,6 +143,27 @@ class FsShim:
             self._fs.delete(dst, False)
         if not self._fs.rename(self._Path(tmp), dst):
             raise OSError(f"hadoop rename failed: {tmp} -> {path}")
+
+    def put_text(self, path: str, text: str) -> None:
+        """Direct single-object write — the manifest-pointer commit
+        primitive.  On object stores a PUT lands whole or not at all
+        (readers never see a partial object), which is exactly the
+        atomicity the pointer swap needs WITHOUT rename.  On plain
+        filesystems a crash mid-write CAN tear the file — the manifest
+        protocol tolerates that (unique-named manifests are validated
+        before use; a torn pointer re-derives from the manifest dir),
+        so one primitive serves every scheme."""
+        if not self.remote:
+            with open(path, "w") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            return
+        stream = self._fs.create(self._Path(path), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
 
     # -- directories ------------------------------------------------------
     def is_dir(self, path: str) -> bool:

@@ -47,6 +47,16 @@ Watermark/stateful operators are intentionally absent: postings are
 append-only facts (no late-data semantics); dedup happens at merge
 time.
 
+Everything above describes the **rename** commit protocol (atomic
+rename on POSIX/HDFS).  On object stores — where rename is
+copy+delete and the crash-safety argument fails — finalize and
+compaction route through the **manifest-pointer** protocol instead
+(``sources/manifest_commit``: append-only uniquely-named data files,
+one single-key pointer PUT per commit, roll-forward recovery, GC of
+unreferenced files).  ``commit="auto"`` picks per scheme; the crash
+windows of both protocols are pytest-simulated
+(tests/test_manifest_commit.py, tests/test_streaming_multimodal.py).
+
 **Compaction** (:func:`compact_index`): each drain APPENDS a fresh
 block-row generation per touched (term, seg) group, so a hot term's
 query-time block-row count grows linearly with drains.  Compaction
@@ -108,6 +118,8 @@ def run_incremental_build(
     out: str,
     cfg: EngineConfig = DEFAULT,
     compact_generations: int | None = None,
+    commit: str = "auto",
+    fault=None,
 ) -> dict:
     """Drain all available input (Trigger.AvailableNow), appending one
     posting-run per micro-batch, then finalize the compressed index
@@ -120,7 +132,20 @@ def run_incremental_build(
 
     ``out`` may be a local path or a URI (hdfs://, file://): the
     finalize snapshot and run listing go through :class:`FsShim`, the
-    parquet/checkpoint writes through Spark's own Hadoop client."""
+    parquet/checkpoint writes through Spark's own Hadoop client.
+
+    ``commit`` selects the finalize protocol: ``"rename"`` is the
+    atomic-rename path below (POSIX/HDFS); ``"manifest"`` is the
+    object-store-safe manifest-pointer path
+    (:mod:`sources.manifest_commit` — append-only data files, one
+    pointer PUT per drain, no renames); ``"auto"`` picks manifest
+    whenever the scheme lacks atomic rename (s3a, gs, abfs) or the
+    index is already manifest-committed.  ``fault``: test hook —
+    called with a window name at each crash point of the manifest
+    protocol (raise to simulate the crash).  On a real object store
+    the parquet job commits themselves should additionally use the
+    store's zero-rename committer (e.g. the S3A magic committer) —
+    that is cluster config, orthogonal to this index-level protocol."""
     import json
 
     fs = FsShim(spark, out)
@@ -213,6 +238,14 @@ def run_incremental_build(
         .start()
     )
     q.awaitTermination()
+
+    from cs6913_web_search_engines_spark.sources import manifest_commit as mc
+
+    if commit == "manifest" or (
+            commit == "auto" and (not FsShim.scheme_atomic(out)
+                                  or mc.has_pointer(fs, out))):
+        return _finalize_manifest(spark, fs, out, cfg,
+                                  compact_generations, fault)
 
     from cs6913_web_search_engines_spark.operators import block_codec as bc
 
@@ -391,11 +424,229 @@ def run_incremental_build(
     }
 
 
+def _finalize_manifest(
+    spark: SparkSession,
+    fs: FsShim,
+    out: str,
+    cfg: EngineConfig,
+    compact_generations: int | None,
+    fault=None,
+) -> dict:
+    """Object-store finalize: append-only data files plus ONE
+    manifest-pointer commit covering blocks and lexicon together —
+    no renames anywhere (protocol + crash windows:
+    :mod:`sources.manifest_commit`; pinned by
+    tests/test_manifest_commit.py on a scheme-forced non-atomic
+    store).
+
+    Flow per drain: roll-forward + GC preamble → encode new runs →
+    APPEND their block files into the live shard dirs (unique part
+    names, invisible to manifest readers until the pointer flips) →
+    write the merged lexicon to a fresh ``_lex_*`` dir → one commit.
+    Because blocks and lexicon commit atomically together, the
+    rename-mode ``lex_gens`` divergence window (snapshot #1 vs #2)
+    does not exist here — the incremental O(new postings) lexicon
+    merge is always valid after the first drain."""
+    import uuid
+
+    from cs6913_web_search_engines_spark.operators import block_codec as bc
+    from cs6913_web_search_engines_spark.sources import manifest_commit as mc
+
+    fault = fault or (lambda point: None)
+    join = fs.join
+    index_dir = join(out, "index")
+    runs_dir = join(out, "runs")
+    ms = mc.ManifestStore(spark, out, fs=fs)
+    man = ms.roll_forward()
+    if man is None and (fs.exists(join(out, "_finalized.json"))
+                        or fs.exists(join(out, "stats.json"))):
+        # evidence of NON-manifest maintenance (rename-mode streaming
+        # writes _finalized.json; batch builds write stats.json): a
+        # pre-existing index landing on an object store — adopt in
+        # place.  Index files WITHOUT either marker are orphans of a
+        # crashed first manifest drain and must NOT be adopted (they
+        # would double every re-encoded run's postings).
+        man = mc.adopt_in_place(spark, out, fs=fs)
+    # GC against the committed state — with no state, everything
+    # unreferenced (crashed-first-drain orphans) is deleted
+    ms.gc(man or mc.empty_state())
+    state = man or mc.empty_state()
+
+    if not fs.is_dir(runs_dir):
+        return {"n_batches": 0, "n_new_runs": 0, "n_postings": 0,
+                "out": out, "commit": "manifest"}
+    all_runs = sorted(
+        int(d.split("=", 1)[1]) for d in fs.list_names(runs_dir)
+        if d.startswith("run="))
+    new_runs = [r for r in all_runs if r not in set(state["runs"])]
+    lexicon_mode = "skip"
+
+    def _blocks_of(rels: list[str]):
+        return (spark.read.option("basePath", index_dir)
+                .parquet(*[join(out, r) for r in rels]))
+
+    if new_runs:
+        runs = (spark.read.parquet(runs_dir)
+                .filter(F.col("run").isin(new_runs))
+                .select("doc_id", "term", "tf"))
+        gen = max(new_runs)
+        before = set(mc.list_index_files(fs, out))
+        (bc.encode_index(runs, cfg).write.partitionBy("shard")
+         .mode("append").parquet(index_dir))
+        new_files = sorted(set(mc.list_index_files(fs, out)) - before)
+        fault("after-data")
+        delta = (_blocks_of(new_files)
+                 .groupBy("term")
+                 .agg(F.sum("n_postings").alias("df_new"),
+                      F.max("max_tf").alias("max_tf_new"))
+                 .localCheckpoint(eager=True))
+        if (state["lexicon"]
+                and set(state["lex_gens"]) == set(state["gens"])):
+            old_lex = spark.read.parquet(join(out, state["lexicon"]))
+            merged = old_lex.join(delta, "term", "full_outer").select(
+                "term",
+                (F.coalesce(F.col("df"), F.lit(0))
+                 + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
+                F.greatest(
+                    F.coalesce(F.col("max_tf"), F.lit(0)),
+                    F.coalesce(F.col("max_tf_new"), F.lit(0)),
+                ).alias("max_tf"))
+            lexicon_mode = "incremental"
+        else:  # first build / adopted index with unknown lex_gens
+            merged = (_blocks_of(state["index_files"] + new_files)
+                      .groupBy("term")
+                      .agg(F.sum("n_postings").alias("df"),
+                           F.max("max_tf").alias("max_tf")))
+            lexicon_mode = "full"
+        lex_rel = f"_lex_g{gen}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(join(out, lex_rel))
+        fault("after-lexicon")
+        gens = sorted(set(state["gens"]) | {gen})
+        state = ms.commit(
+            man, index_files=state["index_files"] + new_files,
+            lexicon=lex_rel, runs=all_runs, gens=gens, lex_gens=gens)
+        man = state
+        fault("after-commit")
+        ms.gc(state)  # best-effort now; the next preamble repeats it
+    elif state["index_files"] and (
+            state["lexicon"] is None
+            or set(state["lex_gens"]) != set(state["gens"])):
+        # repair: adopted index whose lexicon is missing or stale
+        merged = (_blocks_of(state["index_files"])
+                  .groupBy("term")
+                  .agg(F.sum("n_postings").alias("df"),
+                       F.max("max_tf").alias("max_tf")))
+        lex_rel = f"_lex_repair_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(join(out, lex_rel))
+        state = ms.commit(man, lexicon=lex_rel,
+                          lex_gens=sorted(state["gens"]))
+        man = state
+        lexicon_mode = "full"
+        ms.gc(state)
+
+    compact_stats = {}
+    if compact_generations is not None:
+        compact_stats = _compact_manifest(
+            spark, out, cfg, max_generations=compact_generations,
+            fault=fault, fs=fs)
+        man = ms.current() or man
+
+    n_postings = 0
+    if man and man.get("lexicon"):
+        n_postings = int(
+            spark.read.parquet(join(out, man["lexicon"]))
+            .agg(F.sum("df")).collect()[0][0] or 0)
+    return {"n_batches": len(all_runs), "n_new_runs": len(new_runs),
+            "n_postings": n_postings, "out": out,
+            "lexicon_mode": lexicon_mode, "commit": "manifest",
+            **compact_stats}
+
+
+def _compact_manifest(
+    spark: SparkSession,
+    out: str,
+    cfg: EngineConfig,
+    max_generations: int = 1,
+    fault=None,
+    fs: FsShim | None = None,
+) -> dict:
+    """Manifest-mode compaction: same fragmentation detection and
+    decode→re-encode as the rename path, but the affected shards'
+    replacement files are APPENDED (unique names) and the old files
+    are dropped from the manifest in one pointer commit — physical
+    deletion is best-effort afterwards and completed by the next GC
+    preamble.  On an Iceberg-backed index this whole function is
+    ``rewrite_data_files``."""
+    from cs6913_web_search_engines_spark.operators import block_codec as bc
+    from cs6913_web_search_engines_spark.sources import manifest_commit as mc
+
+    fault = fault or (lambda point: None)
+    fs = fs or FsShim(spark, out)
+    join = fs.join
+    index_dir = join(out, "index")
+    ms = mc.ManifestStore(spark, out, fs=fs)
+    man = ms.roll_forward()
+    if man is None:
+        if not (fs.exists(join(out, "_finalized.json"))
+                or fs.exists(join(out, "stats.json"))):
+            # no manifest and no rename-mode/batch markers: nothing
+            # committed here to compact (same adoption rule as
+            # _finalize_manifest — never adopt crash orphans)
+            return {"compacted_groups": 0, "compacted_shards": 0}
+        man = mc.adopt_in_place(spark, out, fs=fs)
+    ms.gc(man)
+    if not man["index_files"]:
+        return {"compacted_groups": 0, "compacted_shards": 0}
+    blocks = (spark.read.option("basePath", index_dir)
+              .parquet(*[join(out, r) for r in man["index_files"]]))
+    frag = (
+        blocks.groupBy("term", "seg")
+        .agg(F.count(F.when(F.col("block_id") == 0, 1)).alias("n_gen"))
+        .filter(F.col("n_gen") > max_generations)
+        .select("term", "seg")
+        .localCheckpoint(eager=True)
+    )
+    affected = [
+        r["shard"]
+        for r in blocks.join(frag, ["term", "seg"], "left_semi")
+        .select("shard").distinct().collect()
+    ]
+    if not affected:
+        return {"compacted_groups": 0, "compacted_shards": 0}
+    n_frag = frag.count()
+    in_shards = blocks.filter(F.col("shard").isin(affected))
+    frag_rows = in_shards.join(frag, ["term", "seg"], "left_semi")
+    keep_rows = in_shards.join(frag, ["term", "seg"], "left_anti")
+    redone = bc.encode_index(
+        bc.decode_postings(frag_rows, cfg).select("doc_id", "term", "tf"), cfg
+    )
+    cols = bc._BLOCK_COLS + ["shard"]
+    staged = keep_rows.select(*cols).unionByName(redone.select(*cols))
+    before = set(mc.list_index_files(fs, out))
+    # append-install: reads the manifest's explicit file list while
+    # writing fresh part files into the same shard dirs — the lazy
+    # scan never sees the files being appended
+    staged.write.partitionBy("shard").mode("append").parquet(index_dir)
+    new_files = sorted(set(mc.list_index_files(fs, out)) - before)
+    fault("after-data")
+    names = {f"shard={k}" for k in affected}
+    replaced = [r for r in man["index_files"] if r.split("/")[1] in names]
+    live = sorted(
+        [r for r in man["index_files"] if r.split("/")[1] not in names]
+        + new_files)
+    man = ms.commit(man, index_files=live)
+    fault("after-commit")
+    for r in replaced:  # best-effort; the next GC preamble finishes
+        fs.delete_file(join(out, r))
+    return {"compacted_groups": int(n_frag), "compacted_shards": len(affected)}
+
+
 def compact_index(
     spark: SparkSession,
     out: str,
     cfg: EngineConfig = DEFAULT,
     max_generations: int = 1,
+    fault=None,
 ) -> dict:
     """Re-encode fragmented (term, seg) groups into one generation.
 
@@ -422,9 +673,11 @@ def compact_index(
     Works on local paths and on URI paths (hdfs://, file://) through
     the same shard-swap protocol via :class:`FsShim` — rename is
     atomic on POSIX and HDFS, which is what the crash-safety argument
-    needs.  Object stores (s3a) rename by copy+delete; a long-lived
-    index there should prefer the table format's own rewrite action
-    (e.g. Iceberg rewrite_data_files) over directory swaps.
+    needs.  Object stores (s3a) rename by copy+delete, so there the
+    compaction routes through the manifest-pointer commit instead
+    (:func:`_compact_manifest` — adopting a rename-mode index in
+    place on first use); an already-manifest-committed index uses it
+    on any scheme.
 
     Concurrency contract: single WRITER (implied by the streaming
     checkpoint) *and* quiesced READERS — the swap is crash-safe but
@@ -435,20 +688,24 @@ def compact_index(
     pointer file) and re-open engines after it returns.
     """
     from cs6913_web_search_engines_spark.operators import block_codec as bc
+    from cs6913_web_search_engines_spark.sources import manifest_commit as mc
 
     if not FsShim.scheme_atomic(out):
         # the shard swap's crash-safety argument is built on atomic
         # rename (POSIX, HDFS); object stores rename by copy+delete,
-        # where a crash mid-swap CAN silently lose a shard — there the
-        # table format's own rewrite action (e.g. Iceberg
-        # rewrite_data_files) is the correct tool, so fail loudly
-        # rather than degrade the guarantee (checked on the raw scheme
-        # BEFORE touching the Hadoop client)
-        raise NotImplementedError(
-            f"compact_index needs atomic rename; {out!r} is on an "
-            "object store — use the table format's rewrite action "
-            "(e.g. Iceberg rewrite_data_files) instead")
+        # where a crash mid-swap CAN silently lose a shard — route to
+        # the manifest-pointer protocol, whose only atomicity need is
+        # a single-key PUT (decided on the raw scheme BEFORE touching
+        # the Hadoop client)
+        return _compact_manifest(spark, out, cfg, max_generations, fault)
     fs = FsShim(spark, out)
+    if mc.has_pointer(fs, out):
+        # already manifest-committed (e.g. maintained by an
+        # object-store writer, now mounted somewhere rename-atomic):
+        # stay on the manifest protocol — mixing the two would let a
+        # directory swap strand the manifest's file list
+        return _compact_manifest(spark, out, cfg, max_generations,
+                                 fault, fs=fs)
     join = fs.join
     index_dir = join(out, "index")
     old_dir = index_dir + ".compact_old"
