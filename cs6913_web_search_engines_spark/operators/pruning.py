@@ -50,22 +50,36 @@ from cs6913_web_search_engines_spark.config import DEFAULT, EngineConfig
 from cs6913_web_search_engines_spark.functions import tokenizer
 from cs6913_web_search_engines_spark.operators import block_codec, query_exec
 
-# Below this many (query, term, block) metadata rows the PLANNING side
-# (bounds, seeds, θ, survivor keys) runs driver-side in pandas — the
-# reference's own model, which walks skip metadata in RAM
+# Below this many PHYSICAL (term, seg, block) metadata rows the
+# PLANNING side (bounds, seeds, θ, survivor keys) runs driver-side in
+# pandas — the reference's own model, which walks skip metadata in RAM
 # (Lexicon.cpp:196-214) — leaving Spark exactly two decode jobs.  The
-# estimate (see ``_estimate_meta_rows``) is a hard upper bound known
-# from the driver df probe before any job runs.  1 M rows ≈ tens of MB
-# of pandas; past that the fully-distributed planner below takes over
-# (identical results — pinned by tests/test_pruning.py).
+# estimate (see ``_estimate_phys_rows``) is a hard upper bound known
+# from the driver df probe before any job runs.  Physical rows carry
+# NO query dimension (round 5): a 256-query batch sharing head terms
+# collects the same ~15 k rows as an 8-query batch — the old
+# query-tagged collect grew as queries × segments (497 k rows at
+# 32 M docs × 256 q) and was the tier's scale ceiling.  1 M rows ≈
+# tens of MB of pandas; past that the fully-distributed planner below
+# takes over (identical results — pinned by tests/test_pruning.py).
 PLAN_LOCAL_MAX_META_ROWS = 1_000_000
+
+# Segments per super-segment for the planner's bound hierarchy: both
+# planners prune at sseg = seg // SUPERSEG_FACTOR granularity BEFORE
+# expanding per-query per-segment bounds, so planner work scales with
+# queries × surviving ssegs (+ segs inside them) instead of queries ×
+# all segments (VERDICT r4 #2).  64 × 16 K-doc segments ≈ 1 M docs
+# per sseg; at 10^12 docs that is ~1 M sseg rows per head term — the
+# level a build-time rollup table serves (see search_pruned notes).
+SUPERSEG_FACTOR = 64
 
 
 def _estimate_meta_rows(queries: dict[str, str], dfs: dict[str, int],
                         total_docs: int, cfg: EngineConfig,
                         mode: str) -> int:
-    """Sound upper bound on |meta| = # (query_id, term, seg, block_id)
-    rows, from driver-known quantities only (no job).
+    """Sound upper bound on the QUERY-TAGGED metadata row count
+    # (query_id, term, seg, block_id) — the decode-set width used for
+    kernel partition sizing and the auto-tier gate.
 
     Per (query, term) occurrence — NOT per distinct term: a head term
     shared by Q queries appears Q× in meta.  Per occurrence the term's
@@ -82,6 +96,21 @@ def _estimate_meta_rows(queries: dict[str, str], dfs: dict[str, int],
         for t in set(tokenizer.split_query(q, mode)):
             df = dfs.get(t, 0)
             total += min(df, n_segs) + -(-df // chunk)
+    return max(1, total)
+
+
+def _estimate_phys_rows(terms, dfs: dict[str, int], total_docs: int,
+                        cfg: EngineConfig) -> int:
+    """Sound upper bound on the PHYSICAL (term, seg, block_id) row
+    count — what the driver planner actually collects (per DISTINCT
+    term: physical metadata carries no query dimension).  Same
+    per-term bound as ``_estimate_meta_rows``."""
+    chunk = cfg.postings_per_chunk
+    n_segs = max(1, -(-total_docs // cfg.segment_docs))
+    total = 0
+    for t in set(terms):
+        df = dfs.get(t, 0)
+        total += min(df, n_segs) + -(-df // chunk)
     return max(1, total)
 
 
@@ -130,7 +159,7 @@ def _query_meta(
                         for t in tokenizer.split_query(q, mode)})
     meta_cols = ["shard", "term", "seg", "block_id", "n_postings", "max_tf"]
     src = blocks if blocks is not None else spark.read.parquet(index_path)
-    meta = (
+    phys = (
         src.select(*meta_cols)
         .filter(block_codec.term_filter(spark, all_terms, cfg))
     )
@@ -142,7 +171,7 @@ def _query_meta(
         qt = query_exec.queries_to_terms(spark, queries, mode)
         qt = qt.join(lexicon.select("term", "df"), "term", "left").fillna(
             0, subset=["df"])
-    return meta.join(F.broadcast(qt), "term"), qt, all_terms
+    return phys.join(F.broadcast(qt), "term"), qt, all_terms, phys
 
 
 def search_pruned(
@@ -190,8 +219,8 @@ def search_pruned(
     min_len = int(stats.get("min_len", 1))
     max_len = int(stats.get("max_len", 1 << 30))
     src = blocks if blocks is not None else spark.read.parquet(index_path)
-    meta, qt, all_terms = _query_meta(spark, index_path, lexicon, queries,
-                                      cfg, src, dfs=dfs)
+    meta, qt, all_terms, meta_phys = _query_meta(
+        spark, index_path, lexicon, queries, cfg, src, dfs=dfs)
     if dfs is None:
         # probe term dfs once driver-side (qt carries the lexicon df):
         # kernel idf inputs + the partition-sizing estimate below
@@ -205,11 +234,23 @@ def search_pruned(
     # the filter, shard partition pruning + term row-group pruning keep
     # the payload read proportional to the query postings.
     src = src.filter(block_codec.term_filter(spark, all_terms, cfg))
-    meta = meta.withColumn(
-        "ub",
-        block_upper_bound(cfg, total_docs, float(stats["avg_len"]),
-                          min_len, max_len),
-    )
+    ub_col = block_upper_bound(cfg, total_docs, float(stats["avg_len"]),
+                               min_len, max_len)
+    meta = meta.withColumn("ub", ub_col)
+    # PHYSICAL planner metadata: per-(term, seg, block) rows with df +
+    # ub attached via a tiny broadcast term→df map — no query
+    # dimension, so its size is invariant in batch width (round 5:
+    # the query-tagged collect grew as queries × segments and was the
+    # pruned tier's scale ceiling)
+    import pandas as pd
+
+    term_df = spark.createDataFrame(
+        pd.DataFrame({"term": pd.Series(list(all_terms), dtype=object),
+                      "df": pd.Series([int(dfs.get(t, 0))
+                                       for t in all_terms], dtype="int64")}),
+        "term string, df long")
+    phys = (meta_phys.join(F.broadcast(term_df), "term")
+            .withColumn("ub", ub_col))
     # The metadata tables below (meta, term_seg, seg_ub) are each
     # referenced 2-4 times across the θ-seed job and the final decode
     # job, and Python-UDF subplans never canonicalize equal, so
@@ -255,7 +296,8 @@ def search_pruned(
     SCAN_SEG_MAX = 4096
 
     def exact_candidates(block_keys: DataFrame,
-                         scan_segs: list[int] | None = None
+                         scan_segs: list[int] | None = None,
+                         n_keys: int | None = None
                          ) -> DataFrame | None:
         """Fused decode+score+per-segment-top-k over exactly the given
         (query_id, term, seg, block_id[, cut_ub]) rows → per-segment
@@ -310,14 +352,25 @@ def search_pruned(
         if scan_segs is not None and 0 < len(scan_segs) <= SCAN_SEG_MAX:
             scan = scan.filter(F.col("seg").isin([int(s) for s in scan_segs]))
         kept = scan.join(keys, ["term", "seg", "block_id"])
+        # When the driver planner knows the EXACT physical block count
+        # (n_keys), size the kernel at ~8 compressed blocks (≤512 KB
+        # payload) per task: a ~100-block seed decode then schedules
+        # ~12 tasks instead of the est-rows-derived 64 — at 32 M docs
+        # × 256 queries the decode work is milliseconds and the
+        # mostly-empty task scheduling WAS the seed job (explicit
+        # repartition counts are never AQE-coalesced).
+        parts = kernel_parts
+        if n_keys is not None:
+            parts = max(8, min(kernel_parts, -(-n_keys // 8)))
         return query_exec.segment_topk_candidates(
             spark, kept, lexicon, stats, queries, cfg,
             len_lookup=len_lookup, conjunctive=conjunctive, dfs=dfs,
-            num_partitions=kernel_parts, chunk_counters=chunk_accs,
+            num_partitions=parts, chunk_counters=chunk_accs,
         )
 
     def exact_scores(block_keys: DataFrame,
-                     scan_segs: list[int] | None = None) -> DataFrame:
+                     scan_segs: list[int] | None = None,
+                     n_keys: int | None = None) -> DataFrame:
         """Ranked exact top-k over the given block keys.
 
         With norms in RAM this is ONE fused Arrow crossing
@@ -326,7 +379,7 @@ def search_pruned(
         (two extra shuffles of per-posting width, measured as the
         dominant pruned-tier constant).  Beyond norms-in-RAM scale it
         falls back to the distributed doc_stats-join scorer."""
-        cand = exact_candidates(block_keys, scan_segs)
+        cand = exact_candidates(block_keys, scan_segs, n_keys)
         if cand is not None:
             w = Window.partitionBy("query_id").orderBy(
                 F.col("score").desc(), F.col("doc_id").asc()
@@ -355,11 +408,12 @@ def search_pruned(
         )
 
     probe_pdf = None
-    _META_COLS = ["query_id", "term", "seg", "block_id",
-                  "n_terms", "df", "ub"]
+    _PHYS_COLS = ["term", "seg", "block_id", "df", "ub"]
     if driver_plan is None:
+        est_phys = (_estimate_phys_rows(all_terms, dfs, total_docs, cfg)
+                    if dfs else 1 << 40)
         driver_plan = (len_lookup is not None
-                       and est_rows <= PLAN_LOCAL_MAX_META_ROWS)
+                       and est_phys <= PLAN_LOCAL_MAX_META_ROWS)
         if len_lookup is not None and not driver_plan:
             # The estimate bounds CHUNK rows, so it exceeds the true
             # block-row count by up to the chunks-per-block packing
@@ -372,26 +426,54 @@ def search_pruned(
             # constant): under the cap, the probe IS the planner's
             # input; over it, the distributed planner takes over as
             # before — metadata genuinely beyond the driver.
-            probe_pdf = (meta.select(*_META_COLS)
+            import time as _time
+
+            _t0 = _time.time()
+            probe_pdf = (phys.select(*_PHYS_COLS)
                          .limit(PLAN_LOCAL_MAX_META_ROWS + 1).toPandas())
+            if counters is not None:
+                counters["_t_probe"] = _time.time() - _t0
             if len(probe_pdf) <= PLAN_LOCAL_MAX_META_ROWS:
                 driver_plan = True
             else:
                 probe_pdf = None
     if driver_plan:
+        qt_rows = []
+        for qid, q in queries.items():
+            q_terms = tokenizer.split_query(q, mode)
+            for t in q_terms:
+                qt_rows.append((qid, t, len(q_terms)))
+        qt_pdf = pd.DataFrame(qt_rows,
+                              columns=["query_id", "term", "n_terms"])
         return _search_pruned_driver(
-            spark, meta, exact_scores, exact_candidates, stats, cfg,
-            conjunctive, seed_segs, counters, mpdf=probe_pdf)
+            spark, phys, qt_pdf, exact_scores, exact_candidates, stats,
+            cfg, conjunctive, seed_segs, counters, mpdf=probe_pdf)
 
-    meta = meta.coalesce(n_meta).localCheckpoint(eager=True)
+    # ----- distributed planner: the same super-segment hierarchy in
+    # DataFrames.  Only ``phys`` (no query dimension) is materialized
+    # at per-block width; query-tagged tables exist only at sseg
+    # granularity and below surviving ssegs, so planner row counts
+    # scale with queries × surviving ssegs instead of queries ×
+    # segments (round 5 — the old per-(query, seg) materialization
+    # was the tier's scale ceiling).
+    phys = phys.coalesce(n_meta).localCheckpoint(eager=True)
+    qtb = F.broadcast(qt.select("query_id", "term", "n_terms"))
 
-    # Per (query, term, seg): best block bound of that term there.
-    term_seg = meta.groupBy("query_id", "term", "seg").agg(
-        F.max("ub").alias("term_ub"),
-        F.first("n_terms").alias("n_terms"),
-    ).withColumn("term_ub_pos", F.greatest(F.col("term_ub"), F.lit(0.0)))
-    term_seg = term_seg.localCheckpoint(eager=True)
-    # Per (query, seg): bounds + #query terms present.
+    # Per (term, seg): best block bound — physical, query-free.
+    ts = (
+        phys.groupBy("term", "seg")
+        .agg(F.max("ub").alias("term_ub"))
+        .withColumn("sseg",
+                    (F.col("seg") / SUPERSEG_FACTOR).cast("long"))
+        .withColumn("term_ub_pos", F.greatest(F.col("term_ub"), F.lit(0.0)))
+        .withColumn("term_ub_neg", F.least(F.col("term_ub"), F.lit(0.0)))
+    )
+    ts = ts.localCheckpoint(eager=True)
+    # Per (term, sseg): best bound in the super-segment (≥ every
+    # member segment's term bound — monotone in max over segs).
+    ss = ts.groupBy("term", "sseg").agg(F.max("term_ub").alias("ss_ub"))
+
+    # Per (query, sseg): bounds + #query terms present.
     #
     # ``sum_pos = Σ_t max(0, ub_t)`` is the bound for a doc that may
     # contain ANY subset of terms — but an empty subset is not a
@@ -403,35 +485,76 @@ def search_pruned(
     # ub (the unclamped-idf head-term regime, where the clamped bound
     # degenerates to 0 and can never fall below a negative θ).  For
     # conjunctive queries the doc contains ALL terms, so the plain
-    # unclamped sum ``Σ_t ub_t`` bounds it (sharper again).
-    seg_ub = (
-        term_seg.groupBy("query_id", "seg")
+    # unclamped sum ``Σ_t ub_t`` bounds it (sharper again).  The same
+    # derivation holds per super-segment over the per-term maxima,
+    # and presence at sseg level is implied by presence in any member
+    # segment — so an sseg bound < θ prunes every member segment
+    # without its per-segment bounds ever being computed.
+    sug = (
+        ss.join(qtb, "term")
+        .groupBy("query_id", "sseg")
         .agg(
-            F.sum("term_ub_pos").alias("sum_pos"),
-            F.sum("term_ub").alias("sum_all"),
-            F.max(F.least(F.col("term_ub"), F.lit(0.0))).alias("best_neg"),
+            F.sum(F.greatest(F.col("ss_ub"), F.lit(0.0))).alias("sum_pos"),
+            F.sum("ss_ub").alias("sum_all"),
+            F.max(F.least(F.col("ss_ub"), F.lit(0.0))).alias("best_neg"),
             F.count("*").alias("n_terms_present"),
             F.first("n_terms").alias("n_terms"),
         )
         .withColumn(
-            "seg_ub",
+            "sseg_ub",
             F.col("sum_all") if conjunctive
             else F.col("sum_pos") + F.col("best_neg"),
         )
     )
-    seg_ub = seg_ub.localCheckpoint(eager=True)
     if conjunctive:
-        # A conjunctive match needs every term; all of a doc's postings
-        # share its segment, so segments missing any query term can
-        # never match — the zigzag-intersection skip
-        # (QueryProcessor.cpp:589-634) at segment granularity.
-        seg_ub = seg_ub.filter(F.col("n_terms_present") == F.col("n_terms"))
+        # A conjunctive match needs every term; a super-segment whose
+        # segments never see some query term cannot match — the
+        # zigzag-intersection skip (QueryProcessor.cpp:589-634) at
+        # sseg granularity (repeated per-segment below).
+        sug = sug.filter(F.col("n_terms_present") == F.col("n_terms"))
+    sug = sug.localCheckpoint(eager=True)
 
+    def seg_bounds(qsseg: DataFrame) -> DataFrame:
+        """Per-(query, seg) bounds, expanded ONLY inside the given
+        (query_id, sseg) rows — same derivation as the sseg bound."""
+        rows = ts.join(
+            F.broadcast(qsseg.join(qtb, "query_id")), ["term", "sseg"])
+        su = (
+            rows.groupBy("query_id", "seg")
+            .agg(
+                F.sum("term_ub_pos").alias("sum_pos"),
+                F.sum("term_ub").alias("sum_all"),
+                F.max("term_ub_neg").alias("best_neg"),
+                F.count("*").alias("n_terms_present"),
+                F.first("n_terms").alias("n_terms"),
+            )
+            .withColumn(
+                "seg_ub",
+                F.col("sum_all") if conjunctive
+                else F.col("sum_pos") + F.col("best_neg"),
+            )
+        )
+        if conjunctive:
+            su = su.filter(F.col("n_terms_present") == F.col("n_terms"))
+        return su
+
+    # Seeds: the best seed_segs segments WITHIN each query's top
+    # seed_segs super-segments (bound-ordered).  Seed choice affects
+    # only θ quality, never correctness — phase 2 prunes against the
+    # real per-segment bounds regardless.
+    w_ss = Window.partitionBy("query_id").orderBy(
+        F.col("sseg_ub").desc(), F.col("sseg").asc())
+    top_ss = (
+        sug.withColumn("ss_rank", F.row_number().over(w_ss))
+        .filter(F.col("ss_rank") <= max(seed_segs, 1))
+        .select("query_id", "sseg")
+    )
     w_seed = Window.partitionBy("query_id").orderBy(
         F.col("seg_ub").desc(), F.col("seg").asc()
     )
     seeds = (
-        seg_ub.withColumn("seg_rank", F.row_number().over(w_seed))
+        seg_bounds(top_ss)
+        .withColumn("seg_rank", F.row_number().over(w_seed))
         .filter(F.col("seg_rank") <= seed_segs)
         .select("query_id", "seg")
     )
@@ -442,32 +565,46 @@ def search_pruned(
     # segments are excluded from phase 2 below, so their blocks decode
     # exactly once instead of twice).  Materialize it once; θ derives
     # from the checkpoint for free.
-    seed_meta = meta.join(F.broadcast(seeds), ["query_id", "seg"], "left_semi")
-    seed_topk = exact_scores(seed_meta).localCheckpoint(eager=True)
+    seed_keys = phys.join(
+        F.broadcast(seeds.join(qtb.select("query_id", "term"),
+                               "query_id")),
+        ["term", "seg"],
+    ).select("query_id", "term", "seg", "block_id")
+    seed_topk = exact_scores(seed_keys).localCheckpoint(eager=True)
     theta = seed_topk.filter(F.col("rank") == cfg.top_k).select(
         "query_id", F.col("score").alias("theta")
     )
 
-    # Phase 2: segments whose bound can still matter, MINUS the seed
-    # segments (already scored exactly; their survivors ride in via the
-    # final union).  Queries with fewer than k seed results get
-    # θ = -inf (left-join null keeps all).
+    # Phase 2: super-segments whose bound can still matter, expanded
+    # to segments, MINUS the seed segments (already scored exactly;
+    # their survivors ride in via the final union).  Queries with
+    # fewer than k seed results get θ = -inf (left-join null keeps
+    # all).  Segments inside pruned ssegs are dropped soundly:
+    # seg_ub ≤ sseg_ub < θ.
+    kept_ss = (
+        sug.join(theta, "query_id", "left")
+        .filter(F.col("theta").isNull()
+                | (F.col("sseg_ub") >= F.col("theta")))
+        .select("query_id", "sseg")
+    )
     kept_segs = (
-        seg_ub.join(theta, "query_id", "left")
+        seg_bounds(kept_ss)
+        .join(theta, "query_id", "left")
         .filter(F.col("theta").isNull() | (F.col("seg_ub") >= F.col("theta")))
         .join(seeds, ["query_id", "seg"], "left_anti")
-        .select("query_id", "seg", "seg_ub")
+        .select("query_id", "seg", "sum_pos")
     )
     survivors = (
-        meta.join(kept_segs.select("query_id", "seg"),
-                  ["query_id", "seg"], "left_semi")
+        phys.join(
+            F.broadcast(kept_segs.join(qtb.select("query_id", "term"),
+                                       "query_id")),
+            ["term", "seg"],
+        )
         # block-level bound: the doc CONTAINS this term (ub accounts it
         # exactly), the others stay optional → the CLAMPED sum_pos,
         # not the sharpened seg_ub (which assumes the best single
         # mandatory term and would under-bound docs holding this one)
-        .join(seg_ub.select("query_id", "seg", "sum_pos"), ["query_id", "seg"])
-        .join(term_seg.select("query_id", "term", "seg", "term_ub_pos"),
-              ["query_id", "term", "seg"])
+        .join(ts.select("term", "seg", "term_ub_pos"), ["term", "seg"])
         .join(theta, "query_id", "left")
         .filter(
             F.col("theta").isNull()
@@ -497,9 +634,12 @@ def search_pruned(
         # block) rows the exhaustive plan would decode vs what was
         # actually decoded (seed phase + phase-2 survivors)
         counters["exhaustive_blocks"] = meta.count()
-        counters["seed_blocks"] = seed_meta.count()
+        counters["seed_blocks"] = seed_keys.count()
         counters["survivor_blocks"] = (survivors.count()
                                        + counters["seed_blocks"])
+        # parity with the driver planner's collected-row accounting:
+        # the physical width its collect would have had
+        counters["planner_meta_rows"] = phys.count()
 
     # Per-subset top-k then union then re-rank is exact: a doc ranked
     # past k *within* the seed subset already has k better
@@ -523,7 +663,8 @@ def search_pruned(
 
 def _search_pruned_driver(
     spark: SparkSession,
-    meta: DataFrame,
+    phys: DataFrame,
+    qt_pdf,
     exact_scores,
     exact_candidates,
     stats: dict,
@@ -541,49 +682,112 @@ def _search_pruned_driver(
     seed-decode job, one survivor-decode job.  The planner's exact
     seed/survivor SEGMENT sets are pushed into both decode scans
     (``scan_segs``) — reads, not just decode, stay proportional to
-    what survived.  ``mpdf``: optionally the already-collected
-    metadata (the routing probe), so the gate costs no second scan."""
+    what survived.
+
+    Round 5: the collect is PHYSICAL (term, seg, block) rows — no
+    query dimension — and the per-query expansion runs through the
+    super-segment hierarchy, so both the collect width and the pandas
+    work scale with terms × segments and queries × SURVIVING ssegs
+    respectively, not queries × segments (the old planner's 497 k-row
+    collect at 32 M docs × 256 queries collapses to the same ~15 k
+    physical rows as an 8-query batch).  ``qt_pdf``: (query_id, term,
+    n_terms) pandas frame.  ``mpdf``: optionally the already-collected
+    physical metadata (the routing probe), so the gate costs no
+    second scan."""
+    import time as _time
+
+    import pandas as pd
+
     total_docs = int(stats["total_docs"])
-    keys_schema = "query_id string, term string, seg long, block_id int"
     grouped_schema = ("term string, seg long, block_id int, "
                       "query_ids array<string>")
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int")
 
+    _t0 = _time.time()
     if mpdf is None:
-        mpdf = meta.select("query_id", "term", "seg", "block_id",
-                           "n_terms", "df", "ub").toPandas()
+        mpdf = phys.select("term", "seg", "block_id", "df", "ub").toPandas()
+        if counters is not None:
+            counters["_t_probe"] = _time.time() - _t0
+    qt = qt_pdf
     if counters is not None:
-        counters["exhaustive_blocks"] = len(mpdf)
-    if len(mpdf) == 0:
+        # query-tagged width of the exhaustive decode set — arithmetic
+        # over the physical frame (a head term shared by Q queries
+        # counts Q×), matching the distributed planner's meta.count()
+        per_term = mpdf.groupby("term").size()
+        counters["exhaustive_blocks"] = int(
+            qt["term"].map(per_term).fillna(0).sum()) if len(qt) else 0
+        # what the planner actually collected (round-5 done-criterion:
+        # physical rows, invariant in batch width — the old planner
+        # collected the query-tagged count above)
+        counters["planner_meta_rows"] = len(mpdf)
+    if len(mpdf) == 0 or len(qt) == 0:
         if counters is not None:
             counters["seed_blocks"] = counters["survivor_blocks"] = 0
         return empty
 
-    # term_seg: best block bound of each term per (query, segment)
-    ts = (mpdf.groupby(["query_id", "term", "seg"], as_index=False)
-          .agg(term_ub=("ub", "max"), n_terms=("n_terms", "first")))
+    _t0 = _time.time()
+    # physical hierarchy — query-free: per-(term, seg) best block
+    # bound, rolled up to super-segments
+    ts = (mpdf.groupby(["term", "seg"], as_index=False)
+          .agg(term_ub=("ub", "max")))
     ts["term_ub_pos"] = ts["term_ub"].clip(lower=0.0)
     ts["term_ub_neg"] = ts["term_ub"].clip(upper=0.0)
-    # seg_ub: see the distributed planner for the bound derivation
-    su = (ts.groupby(["query_id", "seg"], as_index=False)
-          .agg(sum_pos=("term_ub_pos", "sum"), sum_all=("term_ub", "sum"),
-               best_neg=("term_ub_neg", "max"),
-               n_terms_present=("term", "count"),
-               n_terms=("n_terms", "first")))
-    su["seg_ub"] = (su["sum_all"] if conjunctive
-                    else su["sum_pos"] + su["best_neg"])
-    if conjunctive:
-        su = su[su["n_terms_present"] == su["n_terms"]]
-        if len(su) == 0:
-            if counters is not None:
-                counters["seed_blocks"] = counters["survivor_blocks"] = 0
-            return empty
+    ts["sseg"] = ts["seg"] // SUPERSEG_FACTOR
+    ss = ts.groupby(["term", "sseg"], as_index=False).agg(
+        ss_ub=("term_ub", "max"))
+    ss["ss_ub_pos"] = ss["ss_ub"].clip(lower=0.0)
+    ss["ss_ub_neg"] = ss["ss_ub"].clip(upper=0.0)
 
-    seeds = (su.sort_values(["query_id", "seg_ub", "seg"],
-                            ascending=[True, False, True])
+    # per-(query, sseg) bound — the only full per-query expansion,
+    # SUPERSEG_FACTOR× narrower than per-segment (derivation: see the
+    # distributed planner)
+    qss = qt.merge(ss, on="term")
+    sug = (qss.groupby(["query_id", "sseg"], as_index=False)
+           .agg(sum_pos=("ss_ub_pos", "sum"), sum_all=("ss_ub", "sum"),
+                best_neg=("ss_ub_neg", "max"),
+                n_terms_present=("term", "count"),
+                n_terms=("n_terms", "first")))
+    sug["sseg_ub"] = (sug["sum_all"] if conjunctive
+                      else sug["sum_pos"] + sug["best_neg"])
+    if conjunctive:
+        sug = sug[sug["n_terms_present"] == sug["n_terms"]]
+    if len(sug) == 0:
+        if counters is not None:
+            counters["seed_blocks"] = counters["survivor_blocks"] = 0
+        return empty
+
+    def seg_bounds(qsseg: pd.DataFrame) -> pd.DataFrame:
+        """Per-(query, seg) bounds, expanded ONLY inside the given
+        (query_id, sseg) rows."""
+        rows = (qsseg.merge(qt, on="query_id")
+                .merge(ts, on=["term", "sseg"]))
+        su = (rows.groupby(["query_id", "seg"], as_index=False)
+              .agg(sum_pos=("term_ub_pos", "sum"),
+                   sum_all=("term_ub", "sum"),
+                   best_neg=("term_ub_neg", "max"),
+                   n_terms_present=("term", "count"),
+                   n_terms=("n_terms", "first")))
+        su["seg_ub"] = (su["sum_all"] if conjunctive
+                        else su["sum_pos"] + su["best_neg"])
+        if conjunctive:
+            su = su[su["n_terms_present"] == su["n_terms"]]
+        return su
+
+    # seeds: best seed_segs segments within each query's top seed_segs
+    # super-segments (seed choice affects only θ quality, never
+    # correctness)
+    top_ss = (sug.sort_values(["query_id", "sseg_ub", "sseg"],
+                              ascending=[True, False, True])
+              .groupby("query_id").head(max(seed_segs, 1))
+              [["query_id", "sseg"]])
+    seeds = (seg_bounds(top_ss)
+             .sort_values(["query_id", "seg_ub", "seg"],
+                          ascending=[True, False, True])
              .groupby("query_id").head(seed_segs)[["query_id", "seg"]])
-    seed_keys = mpdf.merge(seeds, on=["query_id", "seg"])[
+    seed_keys = (seeds.merge(qt[["query_id", "term"]], on="query_id")
+                 .merge(mpdf[["term", "seg", "block_id"]],
+                        on=["term", "seg"]))[
         ["query_id", "term", "seg", "block_id"]].drop_duplicates()
 
     # Phase 1: exact top-k of the seed segments → θ; reused below so
@@ -597,9 +801,12 @@ def _search_pruned_driver(
     seed_g = (seed_keys.groupby(["term", "seg", "block_id"],
                                 as_index=False)
               .agg(query_ids=("query_id", list)))
+    if counters is not None:
+        counters["_t_plan_seed"] = _time.time() - _t0
+    _t0 = _time.time()
     seed_df = spark.createDataFrame(seed_g, grouped_schema)
     seed_seg_list = sorted(set(seed_keys["seg"].tolist()))
-    cand = exact_candidates(seed_df, seed_seg_list)
+    cand = exact_candidates(seed_df, seed_seg_list, n_keys=len(seed_g))
     if cand is not None:
         cpdf = cand.toPandas()
         cpdf = cpdf.sort_values(["query_id", "score", "doc_id"],
@@ -607,20 +814,32 @@ def _search_pruned_driver(
         cpdf["rank"] = cpdf.groupby("query_id").cumcount() + 1
         seed_pdf = cpdf[cpdf["rank"] <= cfg.top_k]
     else:
-        seed_pdf = exact_scores(seed_df, seed_seg_list).toPandas()
+        seed_pdf = exact_scores(seed_df, seed_seg_list,
+                                n_keys=len(seed_g)).toPandas()
     theta = (seed_pdf[seed_pdf["rank"] == cfg.top_k]
              [["query_id", "score"]].rename(columns={"score": "theta"}))
+    if counters is not None:
+        counters["_t_seed_job"] = _time.time() - _t0
+    _t0 = _time.time()
 
-    # Phase 2: surviving segments (minus seeds), then surviving blocks.
-    kept = su.merge(theta, on="query_id", how="left")
+    # Phase 2: surviving super-segments → their segments (minus
+    # seeds) → surviving blocks.  Segments inside pruned ssegs drop
+    # without per-segment bounds ever being computed
+    # (seg_ub ≤ sseg_ub < θ).
+    kept_ss = sug.merge(theta, on="query_id", how="left")
+    kept_ss = kept_ss[kept_ss["theta"].isna()
+                      | (kept_ss["sseg_ub"] >= kept_ss["theta"])]
+    kept = seg_bounds(kept_ss[["query_id", "sseg"]])
+    kept = kept.merge(theta, on="query_id", how="left")
     kept = kept[kept["theta"].isna() | (kept["seg_ub"] >= kept["theta"])]
     kept = kept.merge(seeds, on=["query_id", "seg"], how="left",
                       indicator=True)
     kept = kept[kept["_merge"] == "left_only"]
-    sv = (mpdf.merge(kept[["query_id", "seg", "sum_pos"]],
-                     on=["query_id", "seg"])
-          .merge(ts[["query_id", "term", "seg", "term_ub_pos"]],
-                 on=["query_id", "term", "seg"])
+    sv = (kept[["query_id", "seg", "sum_pos"]]
+          .merge(qt[["query_id", "term"]], on="query_id")
+          .merge(ts[["term", "seg", "term_ub_pos"]], on=["term", "seg"])
+          .merge(mpdf[["term", "seg", "block_id", "df", "ub"]],
+                 on=["term", "seg"])
           .merge(theta, on="query_id", how="left"))
     mask = (sv["theta"].isna()
             | (sv["df"] * 2 >= total_docs)      # never prune negative idf
@@ -636,6 +855,7 @@ def _search_pruned_driver(
     if counters is not None:
         counters["seed_blocks"] = len(seed_keys)
         counters["survivor_blocks"] = len(surv_keys) + len(seed_keys)
+        counters["_t_plan_phase2"] = _time.time() - _t0
 
     seed_scores = spark.createDataFrame(
         seed_pdf[["query_id", "doc_id", "score"]],
@@ -653,7 +873,7 @@ def _search_pruned_driver(
                                lambda s: s.min(skipna=False))))
         phase2 = exact_scores(
             spark.createDataFrame(surv_g, grouped_schema + ", cut_ub double"),
-            sorted(set(surv_keys["seg"].tolist())))
+            sorted(set(surv_keys["seg"].tolist())), n_keys=len(surv_g))
         combined = seed_scores.unionByName(
             phase2.select("query_id", "doc_id", "score"))
     # per-subset top-k ∪ re-rank is exact — see search_pruned
@@ -672,5 +892,5 @@ def count_blocks(spark: SparkSession, index_path: str,
                  cfg: EngineConfig = DEFAULT) -> int:
     """Block rows the exhaustive path would decode (pruning-ratio
     metrics for bench)."""
-    meta, _, _ = _query_meta(spark, index_path, lexicon, queries, cfg)
+    meta, _, _, _ = _query_meta(spark, index_path, lexicon, queries, cfg)
     return meta.count()

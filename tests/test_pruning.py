@@ -201,7 +201,7 @@ def test_meta_row_estimate_is_upper_bound(spark, compressed):
     batch = dict(QUERIES)
     for i in range(20):
         batch[f"b{i}"] = "the data query"
-    meta, qt, all_terms = pruning._query_meta(
+    meta, qt, all_terms, meta_phys = pruning._query_meta(
         spark, path, lexicon, batch, cfg)
     actual = meta.count()
     dfs = {r["term"]: int(r["df"])
@@ -209,6 +209,14 @@ def test_meta_row_estimate_is_upper_bound(spark, compressed):
     est = pruning._estimate_meta_rows(
         batch, dfs, int(stats["total_docs"]), cfg, "hw3")
     assert est >= actual, (est, actual)
+    # the physical-row estimate (round 5: what the driver planner
+    # actually collects — query-free) must bound the physical count,
+    # and NOT scale with the batch width the way the tagged count does
+    actual_phys = meta_phys.count()
+    est_phys = pruning._estimate_phys_rows(
+        all_terms, dfs, int(stats["total_docs"]), cfg)
+    assert est_phys >= actual_phys, (est_phys, actual_phys)
+    assert actual_phys < actual  # 20 shared-term queries tag ≫ physical
     # and the old per-distinct-term formula demonstrably is NOT sound
     # here (documenting why it was replaced)
     old = sum(max(1, d // cfg.postings_per_chunk) for d in dfs.values())
