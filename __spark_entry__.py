@@ -427,7 +427,30 @@ def _q_trec_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.trec_metrics(run, qrels)
 
 
-def _trec_oracle() -> str:
+def _q_trec_metrics_pytrec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 under trec_eval's OWN rank convention: the engine's top-k
+    run re-sorted by (score desc, docid-string desc) before metric
+    computation — reproduces pytrec_eval exactly on runs with score
+    ties (reference oracle: ``trec_eval.py:40-59``; vendored-check
+    agreement pinned by tests/test_similarity_rerank.py)."""
+    docs, postings, doc_stats, stats, lexicon = _built(spark, sf_dir)
+    qt = qe.queries_to_terms(spark, BATCH_QUERIES)
+    run = qe.score_query_set(postings, qt, lexicon, doc_stats, stats, CFG)
+    qrels = em.synth_qrels(docs, list(BATCH_QUERIES))
+    return em.trec_metrics(em.trec_eval_rank(run), qrels)
+
+
+def _trec_oracle(pytrec: bool = False) -> str:
+    """``pytrec=True``: the top-k cut stays under the ENGINE order
+    (score desc, doc_id asc — what the run file contains), then ranks
+    re-derive per trec_eval's re-sort (docid-string DESC tiebreak)."""
+    rerank_cte = """,
+run AS (
+    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC,
+        CAST(doc_id AS VARCHAR) DESC) AS INT) AS rank
+    FROM run0)""" if pytrec else ""
+    run0 = "run0" if pytrec else "run"
     run_cte = f"""{_POSTINGS_CTE},
 q(query_id, term) AS (VALUES
     ('q0','data'),('q0','fast'),('q0','join'),
@@ -443,12 +466,12 @@ scored AS (
     JOIN doc_stats d ON d.doc_id = p.doc_id
     CROSS JOIN stats s
     GROUP BY q.query_id, p.doc_id),
-run AS (
-    SELECT query_id, doc_id, rank FROM (
+{run0} AS (
+    SELECT query_id, doc_id, score, rank FROM (
         SELECT *, CAST(ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
         FROM scored)
-    WHERE rank <= {CFG.top_k})"""
+    WHERE rank <= {CFG.top_k}){rerank_cte}"""
     qrels_cte = f"qrels AS ({em.synth_qrels_sql(list(BATCH_QUERIES))})"
     return em.trec_metrics_sql(run_cte, qrels_cte)
 
@@ -508,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rerank + evaluation ---
         "bm25_rerank": _q_bm25_rerank,
         "trec_metrics": _q_trec_metrics,
+        "trec_metrics_pytrec": _q_trec_metrics_pytrec,
         "trec_metrics_file": _q_trec_metrics_file,
         "trec_run": _q_trec_run,
         "trec_summary": _q_trec_summary,
@@ -595,6 +619,7 @@ FROM postings GROUP BY 1
         "bm25_rerank": rerank.bm25_rerank_sql(
             _POSTINGS_CTE, rerank_terms, CFG, topn=50, topk=10),
         "trec_metrics": _trec_oracle(),
+        "trec_metrics_pytrec": _trec_oracle(pytrec=True),
         # same metric math; the Spark side is fed through the TSV round
         # trip, so green == the csv ingestion path is lossless
         "trec_metrics_file": _trec_oracle(),

@@ -218,6 +218,7 @@ def level(spark, replicate: int, cfg: EngineConfig) -> dict:
     # which tier did the gate pick? (same arithmetic as engine.search)
     from cs6913_web_search_engines_spark.engine import (
         PRUNED_MIN_AVG_CANDIDATES,
+        PRUNED_MIN_TOTAL_CANDIDATES,
     )
     from cs6913_web_search_engines_spark.functions import tokenizer
     total_cand = sum(dfs.get(t, 0) for q in QUERIES.values()
@@ -235,9 +236,16 @@ def level(spark, replicate: int, cfg: EngineConfig) -> dict:
         "pruned_sec": round(t_pruned, 3),
         "exhaustive_sec": round(t_exh, 3),
         "auto_sec": round(t_auto, 3),
-        "auto_tier": ("pruned" if avg_cand >= PRUNED_MIN_AVG_CANDIDATES
+        "auto_tier": ("pruned"
+                      if (avg_cand >= PRUNED_MIN_AVG_CANDIDATES
+                          or total_cand >= PRUNED_MIN_TOTAL_CANDIDATES)
                       else "exhaustive"),
+        # auto_sec was measured with the adaptive abort in the engine
+        # (pruning.PRUNED_ABORT_SURVIVOR_RATIO) — provenance marker
+        # for tests/test_gate_routing.py's wall-clock envelope
+        "abort_aware": True,
         "avg_candidates": int(avg_cand),
+        "total_candidates": int(total_cand),
         "blocks_decoded": counters["survivor_blocks"],
         "blocks_exhaustive": counters["exhaustive_blocks"],
         # what the round-5 planner collected (physical rows) vs the
@@ -252,6 +260,10 @@ def level(spark, replicate: int, cfg: EngineConfig) -> dict:
         # in-kernel bound cut
         "chunks_in_survivors": chunks_total,
         "chunks_decoded": chunks_decoded,
+        # driver-planner phase profile (VERDICT r4 #8): metadata probe
+        # collect, pandas plan-to-seed, seed decode job, phase-2 plan
+        **{k.lstrip("_"): round(v, 3) for k, v in counters.items()
+           if k.startswith("_t_")},
     }
     # large levels: drop the /dev/shm index before the next one (the
     # corpus stays — /dev/shm is session-scoped and reruns reuse it)

@@ -67,15 +67,28 @@ def build_len_lookup(spark, doc_stats, len_col: str = "distinct_terms"):
 # TakeOrderedAndProject), and exactly the reference's single-node
 # scoring model (QueryProcessor.cpp:459-509).
 LOCAL_EXEC_MAX_POSTINGS = 5_000_000
-# Average per-query candidate-posting volume above which the
-# block-max pruned tier pays for its threshold-seeding passes; below,
-# the segmented/exhaustive plans answer faster.  CALIBRATED from
-# PRUNED_BENCH.json (round 4): the pruned tier first beats the
-# exhaustive kernel wall-clock at the 8 M-doc level, ~3.1 M candidate
-# postings/query (1.454 vs 1.468 s at 48 queries; 2.00 vs 2.36 s at
-# 256), and still loses at the 2 M-doc level's ~0.8 M (1.66 vs
-# 1.40 s) — the gate sits at the measured crossover.
+# Auto-tier gate between the segmented-exhaustive kernel and the
+# block-max pruned tier — TWO terms, both CALIBRATED from round-5
+# forced-tier PRUNED_BENCH.json rows (rounds 3-4 mislabeled the auto
+# engine call as "exhaustive"; at ≥3 M candidates/query the gate had
+# routed it to pruned, so the recorded big-corpus "inversions"
+# compared pruned against itself — see bench_pruned.level):
+#
+# * avg candidates/query ≥ 3 M — the narrow-batch crossover: at
+#   8 queries (hothead) pruned first wins at the 8 M-doc level
+#   (1.14 vs 1.21 s, avg 3.1 M) and still loses at 2 M docs
+#   (1.18 vs 1.05 s, avg 0.77 M).  Per-query decode volume is what
+#   the exhaustive kernel pays that pruning avoids.
+# * total batch candidates ≥ 100 M — the wide-batch crossover: the
+#   exhaustive kernel's Σ_q scoring grows with batch width even when
+#   per-query volume is small, so at 256 queries pruned already wins
+#   at 2 M docs (1.53 vs 1.83 s, avg 0.78 M, total 199 M) while
+#   exhaustive still wins at 0.5 M docs (1.14 vs 1.52 s, total
+#   50 M).  100 M sits at the geometric mean of the bracketing
+#   measurements; the zipf-shape rows (realistic df distribution)
+#   route consistently under the same pair.
 PRUNED_MIN_AVG_CANDIDATES = 3_000_000
+PRUNED_MIN_TOTAL_CANDIDATES = 100_000_000
 
 # Per-term df memo cap: ~50 B/entry → ~50 MB of driver heap; past it
 # the memo clears wholesale (same policy as the postings cache).
@@ -267,6 +280,7 @@ class QueryEngine:
                      and sum(dfs.values()) <= LOCAL_EXEC_MAX_POSTINGS)
         if local and self.len_lookup is not None and pruned is not True:
             return self._search_local(queries, dfs, conjunctive, mode)
+        auto_routed = pruned is None
         if pruned is None:
             # per-query candidate volume, counting a shared head term
             # once PER QUERY — the distinct-term sum undercounts a
@@ -278,7 +292,8 @@ class QueryEngine:
                         for q in queries.values()
                         for t in tokenizer.split_query(q, mode))
             avg_candidates = total / max(len(queries), 1)
-            pruned = avg_candidates >= PRUNED_MIN_AVG_CANDIDATES
+            pruned = (avg_candidates >= PRUNED_MIN_AVG_CANDIDATES
+                      or total >= PRUNED_MIN_TOTAL_CANDIDATES)
         if not pruned and self.len_lookup is not None:
             # distributed batch tier: segment-at-a-time kernel (decode
             # + score + local top-k in one Arrow pass; ~16× less
@@ -289,6 +304,25 @@ class QueryEngine:
                 conjunctive=conjunctive, dfs=dfs,
             )
         if pruned:
+            fallback = None
+            if auto_routed and self.len_lookup is not None:
+                # Adaptive abort target (pruning.PRUNED_ABORT_*): the
+                # df-only gate above cannot see SHAPE — a Zipf corpus
+                # with a positive-idf head term and spatially uniform
+                # tf has huge candidate volume and nothing to prune
+                # (measured: 40.2 s pruned vs 5.8 s exhaustive at 8 M
+                # docs × 256 q).  The pruned planner knows its
+                # survivor count before the expensive decode and
+                # hands such batches back to the segmented kernel.
+                # Only on AUTO routing: an explicit pruned=True keeps
+                # the forced path (bench/test contract).
+                def fallback():
+                    return query_exec.search_segmented(
+                        self.spark, self.blocks, self.lexicon,
+                        self.stats, queries, self.cfg,
+                        len_lookup=self.len_lookup,
+                        conjunctive=conjunctive, dfs=dfs,
+                    )
             return pruning.search_pruned(
                 self.spark, self.index_path, self.lexicon, self.doc_stats,
                 self.stats, queries, self.cfg, conjunctive=conjunctive,
@@ -300,6 +334,7 @@ class QueryEngine:
                 blocks=self.blocks,
                 len_lookup=self.len_lookup,
                 dfs=dfs,
+                fallback=fallback,
             )
         qt = query_exec.queries_to_terms(self.spark, queries, mode, dfs=dfs)
         return query_exec.search_compressed(

@@ -73,6 +73,24 @@ PLAN_LOCAL_MAX_META_ROWS = 1_000_000
 # level a build-time rollup table serves (see search_pruned notes).
 SUPERSEG_FACTOR = 64
 
+# Adaptive abort: after θ/survivor planning (cheap — pandas over the
+# physical metadata plus one small seed decode) the driver planner
+# KNOWS how many query-tagged blocks phase 2 would decode.  When that
+# exceeds this fraction of the exhaustive decode set, the plan is
+# non-pruning — the segmented exhaustive kernel decodes each physical
+# block once with no survivor bookkeeping and wins — so the planner
+# returns the caller-provided fallback instead of executing phase 2.
+# CALIBRATED (round 5, forced-tier PRUNED_BENCH rows): shapes where
+# pruning wins keep ≤ 10 % of blocks (hothead 0.6-6 %), shapes where
+# it measurably loses keep ≈ 100 % (zipf 8 M docs: 40.2 s pruned vs
+# 5.8 s exhaustive at ratio 1.0; chunkskew 3.5-7.5 s vs 1.8-2.0 s) —
+# any threshold in 0.2-0.8 separates them; 0.5 is the midpoint.
+# This is the per-BATCH, per-SHAPE routing signal the df-only engine
+# gate cannot see (a Zipf corpus with a positive-idf head term and
+# spatially uniform tf has huge candidate volume AND nothing to
+# prune).
+PRUNED_ABORT_SURVIVOR_RATIO = 0.5
+
 
 def _estimate_meta_rows(queries: dict[str, str], dfs: dict[str, int],
                         total_docs: int, cfg: EngineConfig,
@@ -191,6 +209,7 @@ def search_pruned(
     counters: dict | None = None,
     dfs: dict[str, int] | None = None,
     driver_plan: bool | None = None,
+    fallback=None,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index, decoding only
     blocks whose bound can still beat the seeded threshold.
@@ -214,6 +233,14 @@ def search_pruned(
     segments; set False beyond broadcast size (same regime as
     ``broadcast_doc_stats``) and the key join shuffles instead (AQE
     still broadcasts it at runtime when it measures small).
+
+    ``fallback``: zero-arg callable returning a rank-identical
+    DataFrame (the engine passes the segmented exhaustive tier).
+    When set, the DRIVER planner aborts to it after θ/survivor
+    planning if the plan turned out non-pruning
+    (``PRUNED_ABORT_SURVIVOR_RATIO``) — the per-shape routing signal
+    the candidate-volume gate cannot see.  None (default) forces the
+    pruned execution regardless.
     """
     total_docs = int(stats["total_docs"])
     min_len = int(stats.get("min_len", 1))
@@ -447,7 +474,8 @@ def search_pruned(
                               columns=["query_id", "term", "n_terms"])
         return _search_pruned_driver(
             spark, phys, qt_pdf, exact_scores, exact_candidates, stats,
-            cfg, conjunctive, seed_segs, counters, mpdf=probe_pdf)
+            cfg, conjunctive, seed_segs, counters, mpdf=probe_pdf,
+            fallback=fallback)
 
     # ----- distributed planner: the same super-segment hierarchy in
     # DataFrames.  Only ``phys`` (no query dimension) is materialized
@@ -673,6 +701,7 @@ def _search_pruned_driver(
     seed_segs: int,
     counters: dict | None,
     mpdf=None,
+    fallback=None,
 ) -> DataFrame:
     """Driver-side planning half of :func:`search_pruned` — identical
     bound/seed/θ/survivor math to the distributed planner, in pandas
@@ -710,13 +739,16 @@ def _search_pruned_driver(
         if counters is not None:
             counters["_t_probe"] = _time.time() - _t0
     qt = qt_pdf
-    if counters is not None:
-        # query-tagged width of the exhaustive decode set — arithmetic
-        # over the physical frame (a head term shared by Q queries
-        # counts Q×), matching the distributed planner's meta.count()
+    # query-tagged width of the exhaustive decode set — arithmetic
+    # over the physical frame (a head term shared by Q queries counts
+    # Q×), matching the distributed planner's meta.count(); also the
+    # adaptive-abort denominator below
+    tagged_total = 0
+    if len(mpdf) and len(qt):
         per_term = mpdf.groupby("term").size()
-        counters["exhaustive_blocks"] = int(
-            qt["term"].map(per_term).fillna(0).sum()) if len(qt) else 0
+        tagged_total = int(qt["term"].map(per_term).fillna(0).sum())
+    if counters is not None:
+        counters["exhaustive_blocks"] = tagged_total
         # what the planner actually collected (round-5 done-criterion:
         # physical rows, invariant in batch width — the old planner
         # collected the query-tagged count above)
@@ -856,6 +888,19 @@ def _search_pruned_driver(
         counters["seed_blocks"] = len(seed_keys)
         counters["survivor_blocks"] = len(surv_keys) + len(seed_keys)
         counters["_t_plan_phase2"] = _time.time() - _t0
+    if (fallback is not None
+            and len(surv_keys) + len(seed_keys)
+            > PRUNED_ABORT_SURVIVOR_RATIO * max(tagged_total, 1)):
+        # Adaptive abort (see PRUNED_ABORT_SURVIVOR_RATIO): θ prunes
+        # almost nothing on this batch × corpus shape, so phase 2
+        # would decode ≈ the exhaustive set WITH survivor bookkeeping
+        # on top.  Hand the whole batch to the segmented exhaustive
+        # kernel instead — sunk cost is only the metadata probe, the
+        # pandas plan, and the tiny seed decode.  Rank identity is
+        # unaffected (the fallback is a rank-identical tier).
+        if counters is not None:
+            counters["aborted_to_fallback"] = True
+        return fallback()
 
     seed_scores = spark.createDataFrame(
         seed_pdf[["query_id", "doc_id", "score"]],

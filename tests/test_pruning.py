@@ -310,3 +310,99 @@ def test_shared_decode_across_overlapping_queries(spark, tmp_path,
     # identical queries → identical survivor blocks → the physical
     # chunk decode is deduplicated, not repeated per query
     assert chunks["four"] == chunks["one"], chunks
+
+
+def test_adaptive_abort_on_nonpruning_shape(spark, tmp_path):
+    """Round-5 routing guard: when θ prunes (almost) nothing — a
+    uniform corpus where every segment's bound ties — the driver
+    planner must hand the batch to the caller's fallback BEFORE the
+    phase-2 decode (PRUNED_ABORT_SURVIVOR_RATIO); on a genuinely
+    prunable shape it must NOT abort.  Measured basis: zipf 8 M docs
+    × 256 q ran 40.2 s pruned vs 5.8 s exhaustive at survivor ratio
+    ≈ 1.0, while pruning-friendly shapes keep ≤ 10 % of blocks."""
+    rows = [(d, "alpha beta gamma") for d in range(2048)]  # uniform
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(segment_docs=64, n_term_shards=4, top_k=10)
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    stats = ib.corpus_stats(doc_stats)
+    lexicon = ib.build_lexicon(postings)
+    path = str(tmp_path / "uidx")
+    bc.write_index(bc.encode_index(postings, cfg), path)
+    norms = _norms_broadcast(spark, doc_stats)
+
+    calls = []
+
+    def fallback():
+        calls.append(1)
+        return qe.search_compressed(
+            spark, path, lexicon, doc_stats, stats, {"q": "alpha beta"},
+            cfg)
+
+    counters: dict = {}
+    got = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, {"q": "alpha beta"}, cfg,
+        len_lookup=norms, counters=counters, fallback=fallback,
+    ).collect()
+    assert calls == [1] and counters.get("aborted_to_fallback")
+    want = qe.search_compressed(
+        spark, path, lexicon, doc_stats, stats, {"q": "alpha beta"}, cfg,
+    ).collect()
+    assert _canon(got) == _canon(want)
+    # forced path (no fallback) still executes pruned and stays
+    # rank-identical even on the hostile shape
+    forced = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, {"q": "alpha beta"}, cfg,
+        len_lookup=norms,
+    ).collect()
+    assert _canon(forced) == _canon(want)
+
+    # prunable shape: rare concentrated term — no abort
+    rows = []
+    for d in range(2048):
+        words = ["common", "filler"]
+        if d < 64:
+            words += ["rare"] * 8
+        rows.append((d, " ".join(words)))
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    postings2 = ib.build_postings(docs2)
+    doc_stats2 = ib.build_doc_stats(docs2, postings2)
+    stats2 = ib.corpus_stats(doc_stats2)
+    lexicon2 = ib.build_lexicon(postings2)
+    path2 = str(tmp_path / "ridx")
+    bc.write_index(bc.encode_index(postings2, cfg), path2)
+    norms2 = _norms_broadcast(spark, doc_stats2)
+    calls.clear()
+    counters2: dict = {}
+    got2 = pruning.search_pruned(
+        spark, path2, lexicon2, doc_stats2, stats2, {"q": "rare common"},
+        cfg, len_lookup=norms2, seed_segs=1, counters=counters2,
+        fallback=lambda: (_ for _ in ()).throw(AssertionError("aborted")),
+    ).collect()
+    assert calls == [] and not counters2.get("aborted_to_fallback")
+    assert counters2["survivor_blocks"] < counters2["exhaustive_blocks"] // 2
+    want2 = qe.search_compressed(
+        spark, path2, lexicon2, doc_stats2, stats2, {"q": "rare common"},
+        cfg).collect()
+    assert _canon(got2) == _canon(want2)
+
+
+def test_engine_auto_abort_rank_identity(spark, tmp_path, monkeypatch):
+    """Engine-level: with the gate constants forced low (so auto
+    routing picks pruned on a tiny hostile corpus), the adaptive
+    abort must still deliver rank-identical results through the
+    fallback tier."""
+    import cs6913_web_search_engines_spark.engine as eng_mod
+
+    rows = [(d, "alpha beta gamma") for d in range(2048)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(segment_docs=64, n_term_shards=4, top_k=10)
+    out = str(tmp_path / "full")
+    ib.build_full(spark, docs, out, cfg, checkpoint_runs=False)
+    monkeypatch.setattr(eng_mod, "PRUNED_MIN_AVG_CANDIDATES", 1)
+    monkeypatch.setattr(eng_mod, "LOCAL_EXEC_MAX_POSTINGS", 0)
+    engine = eng_mod.QueryEngine(spark, out, cfg)
+    got = engine.search({"q": "alpha beta"}).collect()
+    want = engine.search({"q": "alpha beta"}, pruned=False,
+                         local=False).collect()
+    assert _canon(got) == _canon(want)
