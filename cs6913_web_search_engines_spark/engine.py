@@ -154,6 +154,15 @@ class QueryEngine:
         self._df_memo: dict[str, int] = {}
         self._postings_cache: dict[str, list] = {}
         self._postings_cache_n = 0
+        # Adaptive-routing memo: when an auto-routed pruned batch
+        # ABORTS (non-pruning shape — pruning.PRUNED_ABORT_*), the
+        # term-set is remembered and identical workloads route
+        # straight to the segmented tier, skipping the probe + plan +
+        # seed-decode sunk cost on every repeat (real workloads
+        # repeat: the reference's TREC batch reruns the same 1,097
+        # queries).  Keyed per (conjunctive, term set): prunability is
+        # a property of the terms' posting shapes, not the batch.
+        self._route_memo: dict = {}
 
     def _build_len_lookup(self):
         len_col = ("distinct_terms" if self.cfg.length_norm == "hw3"
@@ -294,6 +303,11 @@ class QueryEngine:
             avg_candidates = total / max(len(queries), 1)
             pruned = (avg_candidates >= PRUNED_MIN_AVG_CANDIDATES
                       or total >= PRUNED_MIN_TOTAL_CANDIDATES)
+            route_key = (conjunctive, frozenset(terms))
+            if pruned and self._route_memo.get(route_key) == "exhaustive":
+                # this exact term set aborted before — don't pay the
+                # probe/plan/seed sunk cost again
+                pruned = False
         if not pruned and self.len_lookup is not None:
             # distributed batch tier: segment-at-a-time kernel (decode
             # + score + local top-k in one Arrow pass; ~16× less
@@ -316,7 +330,12 @@ class QueryEngine:
                 # hands such batches back to the segmented kernel.
                 # Only on AUTO routing: an explicit pruned=True keeps
                 # the forced path (bench/test contract).
+                route_key = (conjunctive, frozenset(terms))
+
                 def fallback():
+                    if len(self._route_memo) > DF_MEMO_MAX_TERMS:
+                        self._route_memo.clear()
+                    self._route_memo[route_key] = "exhaustive"
                     return query_exec.search_segmented(
                         self.spark, self.blocks, self.lexicon,
                         self.stats, queries, self.cfg,

@@ -92,6 +92,11 @@ SUPERSEG_FACTOR = 64
 PRUNED_ABORT_SURVIVOR_RATIO = 0.5
 
 
+class _DriverPlanOverflow(Exception):
+    """A lazy rollup-mode metadata fetch outgrew the driver budget —
+    the caller replans with the distributed planner."""
+
+
 def _estimate_meta_rows(queries: dict[str, str], dfs: dict[str, int],
                         total_docs: int, cfg: EngineConfig,
                         mode: str) -> int:
@@ -464,6 +469,32 @@ def search_pruned(
                 driver_plan = True
             else:
                 probe_pdf = None
+                # Rollup probe (round 5): physical rows outgrew the
+                # driver, but the (term, sseg) ROLLUP is
+                # SUPERSEG_FACTOR× smaller — one distributed
+                # metadata-only agg (exactly what a build-time rollup
+                # table would store; computing it per batch costs one
+                # tiny Spark job and zero format/maintenance surface).
+                # Under the cap, the driver plans hierarchically from
+                # the rollup and fetches per-segment metadata ONLY for
+                # each query's top super-segments and the
+                # θ-surviving ones — extending the driver planner
+                # another 64× before the distributed planner takes
+                # over (and a fetch that outgrows the budget falls
+                # back to it mid-plan via _DriverPlanOverflow).
+                _t0 = _time.time()
+                rollup_pdf = (
+                    phys.groupBy(
+                        "term",
+                        (F.col("seg") / SUPERSEG_FACTOR)
+                        .cast("long").alias("sseg"))
+                    .agg(F.max("ub").alias("ss_ub"),
+                         F.count("*").alias("n_blocks"))
+                    .limit(PLAN_LOCAL_MAX_META_ROWS + 1).toPandas())
+                if counters is not None:
+                    counters["_t_rollup"] = _time.time() - _t0
+                if len(rollup_pdf) <= PLAN_LOCAL_MAX_META_ROWS:
+                    driver_plan = "rollup"
     if driver_plan:
         qt_rows = []
         for qid, q in queries.items():
@@ -472,10 +503,18 @@ def search_pruned(
                 qt_rows.append((qid, t, len(q_terms)))
         qt_pdf = pd.DataFrame(qt_rows,
                               columns=["query_id", "term", "n_terms"])
-        return _search_pruned_driver(
-            spark, phys, qt_pdf, exact_scores, exact_candidates, stats,
-            cfg, conjunctive, seed_segs, counters, mpdf=probe_pdf,
-            fallback=fallback)
+        try:
+            return _search_pruned_driver(
+                spark, phys, qt_pdf, exact_scores, exact_candidates,
+                stats, cfg, conjunctive, seed_segs, counters,
+                mpdf=probe_pdf,
+                rollup_pdf=(rollup_pdf if driver_plan == "rollup"
+                            else None),
+                fallback=fallback)
+        except _DriverPlanOverflow:
+            # a lazy fetch outgrew the driver budget (survivor ssegs
+            # genuinely hold >cap block rows) — replan distributed
+            pass
 
     # ----- distributed planner: the same super-segment hierarchy in
     # DataFrames.  Only ``phys`` (no query dimension) is materialized
@@ -701,6 +740,7 @@ def _search_pruned_driver(
     seed_segs: int,
     counters: dict | None,
     mpdf=None,
+    rollup_pdf=None,
     fallback=None,
 ) -> DataFrame:
     """Driver-side planning half of :func:`search_pruned` — identical
@@ -722,7 +762,16 @@ def _search_pruned_driver(
     physical rows as an 8-query batch).  ``qt_pdf``: (query_id, term,
     n_terms) pandas frame.  ``mpdf``: optionally the already-collected
     physical metadata (the routing probe), so the gate costs no
-    second scan."""
+    second scan.
+
+    ``rollup_pdf`` (round 5 — the 64×-beyond-cap regime): the
+    (term, sseg, ss_ub, n_blocks) rollup instead of per-block rows;
+    the planner then LAZILY fetches per-segment/block metadata only
+    for each query's top super-segments and the θ-surviving ones —
+    super-segments are pruned against θ before their per-segment
+    metadata is ever read.  A fetch that outgrows the driver budget
+    raises :class:`_DriverPlanOverflow` (caller replans distributed).
+    """
     import time as _time
 
     import pandas as pd
@@ -733,27 +782,94 @@ def _search_pruned_driver(
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double, rank int")
 
+    lazy = mpdf is None and rollup_pdf is not None
     _t0 = _time.time()
-    if mpdf is None:
+    if mpdf is None and not lazy:
         mpdf = phys.select("term", "seg", "block_id", "df", "ub").toPandas()
         if counters is not None:
             counters["_t_probe"] = _time.time() - _t0
     qt = qt_pdf
+
+    def _ts_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = (pdf.groupby(["term", "seg"], as_index=False)
+              .agg(term_ub=("ub", "max")))
+        ts["term_ub_pos"] = ts["term_ub"].clip(lower=0.0)
+        ts["term_ub_neg"] = ts["term_ub"].clip(upper=0.0)
+        ts["sseg"] = ts["seg"] // SUPERSEG_FACTOR
+        return ts
+
+    _PHYS_COLS = ["term", "seg", "block_id", "df", "ub"]
+    if lazy:
+        # rollup mode: ss comes straight from the collected rollup;
+        # per-block metadata starts EMPTY and is fetched per sseg set
+        ss = rollup_pdf
+        mpdf = pd.DataFrame(
+            {c: pd.Series(dtype=("object" if c == "term" else
+                                 "float64" if c == "ub" else "int64"))
+             for c in _PHYS_COLS})
+        ts = _ts_of(mpdf)
+        have_ssegs: set[int] = set()
+
+        def ensure_ssegs(ssegs) -> None:
+            """Fetch physical rows for not-yet-loaded super-segments
+            (seg-range + sseg predicates pushed into the metadata
+            scan), appending to the accumulated mpdf/ts."""
+            nonlocal mpdf, ts
+            need = sorted({int(s) for s in ssegs} - have_ssegs)
+            if not need:
+                return
+            lo = need[0] * SUPERSEG_FACTOR
+            hi = (need[-1] + 1) * SUPERSEG_FACTOR
+            scan = phys.filter((F.col("seg") >= lo) & (F.col("seg") < hi))
+            if len(need) <= 4096:
+                scan = scan.filter(
+                    (F.col("seg") / SUPERSEG_FACTOR).cast("long")
+                    .isin(need))
+            budget = PLAN_LOCAL_MAX_META_ROWS - len(mpdf)
+            if budget <= 0:
+                raise _DriverPlanOverflow()
+            t0 = _time.time()
+            new = (scan.select(*_PHYS_COLS)
+                   .limit(budget + 1).toPandas())
+            if counters is not None:
+                counters["_t_fetch"] = (counters.get("_t_fetch", 0.0)
+                                        + _time.time() - t0)
+            if len(new) > budget:
+                raise _DriverPlanOverflow()
+            if len(need) > 4096:  # range scan over-fetches: trim exact
+                new = new[(new["seg"] // SUPERSEG_FACTOR).isin(need)]
+            have_ssegs.update(need)
+            mpdf = (new if len(mpdf) == 0
+                    else pd.concat([mpdf, new], ignore_index=True))
+            ts = _ts_of(mpdf)
+            if counters is not None:
+                counters["planner_meta_rows"] = (len(rollup_pdf)
+                                                 + len(mpdf))
+    else:
+        ts = _ts_of(mpdf)
+
+        def ensure_ssegs(ssegs) -> None:
+            return None
+
     # query-tagged width of the exhaustive decode set — arithmetic
-    # over the physical frame (a head term shared by Q queries counts
-    # Q×), matching the distributed planner's meta.count(); also the
-    # adaptive-abort denominator below
+    # over per-term block counts (a head term shared by Q queries
+    # counts Q×), matching the distributed planner's meta.count();
+    # also the adaptive-abort denominator below
     tagged_total = 0
-    if len(mpdf) and len(qt):
-        per_term = mpdf.groupby("term").size()
+    if len(qt):
+        per_term = (ss.groupby("term")["n_blocks"].sum() if lazy
+                    else mpdf.groupby("term").size())
         tagged_total = int(qt["term"].map(per_term).fillna(0).sum())
     if counters is not None:
         counters["exhaustive_blocks"] = tagged_total
         # what the planner actually collected (round-5 done-criterion:
         # physical rows, invariant in batch width — the old planner
-        # collected the query-tagged count above)
-        counters["planner_meta_rows"] = len(mpdf)
-    if len(mpdf) == 0 or len(qt) == 0:
+        # collected the query-tagged count above).  Lazy mode adds
+        # fetched rows as they load (see the return paths).
+        counters["planner_meta_rows"] = (len(rollup_pdf) if lazy
+                                         else len(mpdf))
+    if (len(qt) == 0 or (len(mpdf) == 0 and not lazy)
+            or (lazy and len(ss) == 0)):
         if counters is not None:
             counters["seed_blocks"] = counters["survivor_blocks"] = 0
         return empty
@@ -761,13 +877,10 @@ def _search_pruned_driver(
     _t0 = _time.time()
     # physical hierarchy — query-free: per-(term, seg) best block
     # bound, rolled up to super-segments
-    ts = (mpdf.groupby(["term", "seg"], as_index=False)
-          .agg(term_ub=("ub", "max")))
-    ts["term_ub_pos"] = ts["term_ub"].clip(lower=0.0)
-    ts["term_ub_neg"] = ts["term_ub"].clip(upper=0.0)
-    ts["sseg"] = ts["seg"] // SUPERSEG_FACTOR
-    ss = ts.groupby(["term", "sseg"], as_index=False).agg(
-        ss_ub=("term_ub", "max"))
+    if not lazy:
+        ss = ts.groupby(["term", "sseg"], as_index=False).agg(
+            ss_ub=("term_ub", "max"))
+    ss = ss.copy()
     ss["ss_ub_pos"] = ss["ss_ub"].clip(lower=0.0)
     ss["ss_ub_neg"] = ss["ss_ub"].clip(upper=0.0)
 
@@ -813,6 +926,7 @@ def _search_pruned_driver(
                               ascending=[True, False, True])
               .groupby("query_id").head(max(seed_segs, 1))
               [["query_id", "sseg"]])
+    ensure_ssegs(top_ss["sseg"])
     seeds = (seg_bounds(top_ss)
              .sort_values(["query_id", "seg_ub", "seg"],
                           ascending=[True, False, True])
@@ -861,6 +975,7 @@ def _search_pruned_driver(
     kept_ss = sug.merge(theta, on="query_id", how="left")
     kept_ss = kept_ss[kept_ss["theta"].isna()
                       | (kept_ss["sseg_ub"] >= kept_ss["theta"])]
+    ensure_ssegs(kept_ss["sseg"])
     kept = seg_bounds(kept_ss[["query_id", "sseg"]])
     kept = kept.merge(theta, on="query_id", how="left")
     kept = kept[kept["theta"].isna() | (kept["seg_ub"] >= kept["theta"])]

@@ -406,3 +406,73 @@ def test_engine_auto_abort_rank_identity(spark, tmp_path, monkeypatch):
     want = engine.search({"q": "alpha beta"}, pruned=False,
                          local=False).collect()
     assert _canon(got) == _canon(want)
+    # the abort taught the router: the same term set now routes
+    # straight to the segmented tier (memo populated), same results
+    assert engine._route_memo
+    key = (False, frozenset(["alpha", "beta"]))
+    assert engine._route_memo.get(key) == "exhaustive"
+    got2 = engine.search({"other": "beta alpha"}).collect()
+    assert ([("other",) + r[1:] for r in _canon(got2)]
+            == [("other",) + r[1:] for r in _canon(got)])
+
+
+def test_rollup_probed_driver_planner(spark, tmp_path, monkeypatch):
+    """Round-5 beyond-cap regime: when physical metadata outgrows the
+    driver cap but the (term, sseg) ROLLUP fits, the driver planner
+    plans hierarchically from the rollup and fetches per-segment
+    metadata ONLY for top + θ-surviving super-segments — identical
+    results and pruning accounting to the full-collect planner.  When
+    even a lazy fetch outgrows the budget, the planner must overflow
+    cleanly into the distributed replan (same results)."""
+    rows = []
+    for d in range(2048):
+        words = ["common", "filler"]
+        if d < 64:
+            words += ["rare"] * 8
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(segment_docs=64, n_term_shards=4, top_k=10)
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    stats = ib.corpus_stats(doc_stats)
+    lexicon = ib.build_lexicon(postings)
+    path = str(tmp_path / "ridx")
+    bc.write_index(bc.encode_index(postings, cfg), path)
+    norms = _norms_broadcast(spark, doc_stats)
+    queries = {"q1": "rare common", "q2": "rare"}
+
+    ref_counters: dict = {}
+    want = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, queries, cfg,
+        seed_segs=1, len_lookup=norms, driver_plan=True,
+        counters=ref_counters,
+    ).collect()
+
+    # 8 segs per sseg → 4 ssegs over the 32 segments; cap between the
+    # rollup size and the physical row count forces rollup mode
+    monkeypatch.setattr(pruning, "SUPERSEG_FACTOR", 8)
+    nphys = int(ref_counters["planner_meta_rows"])
+    monkeypatch.setattr(pruning, "PLAN_LOCAL_MAX_META_ROWS", nphys - 1)
+    lazy_counters: dict = {}
+    got = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, queries, cfg,
+        seed_segs=1, len_lookup=norms, counters=lazy_counters,
+    ).collect()
+    assert _canon(got) == _canon(want)
+    # rollup mode engaged: fewer rows collected than physical, and
+    # super-segments were pruned before their metadata was fetched
+    assert lazy_counters["planner_meta_rows"] < nphys
+    assert lazy_counters["exhaustive_blocks"] == ref_counters[
+        "exhaustive_blocks"]
+    assert lazy_counters["survivor_blocks"] <= ref_counters[
+        "exhaustive_blocks"] // 2
+    assert "_t_rollup" in lazy_counters
+
+    # overflow: budget below even the top-sseg fetch → clean
+    # distributed replan, same results
+    monkeypatch.setattr(pruning, "PLAN_LOCAL_MAX_META_ROWS", 6)
+    got2 = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, queries, cfg,
+        seed_segs=1, len_lookup=norms,
+    ).collect()
+    assert _canon(got2) == _canon(want)
