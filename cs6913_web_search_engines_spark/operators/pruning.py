@@ -696,17 +696,47 @@ def search_pruned(
             ).alias("cut_ub"),
         )
     )
+    if counters is not None or fallback is not None:
+        # Materialize the survivor set once: the abort check (and the
+        # bench counters) need its count, and the phase-2 decode below
+        # reuses the checkpoint instead of recomputing the planning
+        # DAG.  Bounded: query-tagged surviving block keys — at worst
+        # the exhaustive decode-set width phase 2 would process anyway.
+        survivors = survivors.localCheckpoint(eager=True)
+        n_seed = seed_keys.count()
+        n_surv = survivors.count() + n_seed
     if counters is not None:
         # bench-only accounting (extra actions): how many (query, term,
         # block) rows the exhaustive plan would decode vs what was
         # actually decoded (seed phase + phase-2 survivors)
         counters["exhaustive_blocks"] = meta.count()
-        counters["seed_blocks"] = seed_keys.count()
-        counters["survivor_blocks"] = (survivors.count()
-                                       + counters["seed_blocks"])
+        counters["seed_blocks"] = n_seed
+        counters["survivor_blocks"] = n_surv
         # parity with the driver planner's collected-row accounting:
         # the physical width its collect would have had
         counters["planner_meta_rows"] = phys.count()
+    if fallback is not None:
+        # Adaptive abort, distributed-planner edition (the driver
+        # planner's check lives in _search_pruned_driver): this is the
+        # path a beyond-driver-cap corpus takes — including a lazy
+        # rollup plan that overflowed mid-fetch — so a non-pruning
+        # shape at exactly that scale must still hand the batch to the
+        # segmented fallback before the phase-2 decode.  The tagged
+        # exhaustive width comes arithmetically from per-term block
+        # counts over the checkpointed physical frame (one tiny agg +
+        # ≤|terms|-row collect, no second parquet scan); sunk cost is
+        # the probe, the plan stages, and the seed decode — same
+        # contract as the driver abort.
+        per_term = {r["term"]: int(r["n"]) for r in
+                    phys.groupBy("term").agg(F.count("*").alias("n"))
+                    .collect()}
+        tagged_total = sum(per_term.get(t, 0)
+                           for q in queries.values()
+                           for t in set(tokenizer.split_query(q, mode)))
+        if n_surv > PRUNED_ABORT_SURVIVOR_RATIO * max(tagged_total, 1):
+            if counters is not None:
+                counters["aborted_to_fallback"] = True
+            return fallback()
 
     # Per-subset top-k then union then re-rank is exact: a doc ranked
     # past k *within* the seed subset already has k better

@@ -476,3 +476,73 @@ def test_rollup_probed_driver_planner(spark, tmp_path, monkeypatch):
         seed_segs=1, len_lookup=norms,
     ).collect()
     assert _canon(got2) == _canon(want)
+
+
+def test_distributed_planner_abort(spark, tmp_path, monkeypatch):
+    """Round-5: the adaptive abort must also fire on the DISTRIBUTED
+    planner — the path a beyond-driver-cap corpus takes (including a
+    lazy rollup plan that overflowed mid-fetch), so a non-pruning
+    shape at exactly that scale still hands the batch to the
+    segmented fallback before the phase-2 decode.  Same shapes as the
+    driver-planner abort test, with the driver cap forced to 0 so
+    planning goes distributed; the prunable shape must NOT abort."""
+    rows = [(d, "alpha beta gamma") for d in range(2048)]  # uniform
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(segment_docs=64, n_term_shards=4, top_k=10)
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    stats = ib.corpus_stats(doc_stats)
+    lexicon = ib.build_lexicon(postings)
+    path = str(tmp_path / "didx")
+    bc.write_index(bc.encode_index(postings, cfg), path)
+    norms = _norms_broadcast(spark, doc_stats)
+    monkeypatch.setattr(pruning, "PLAN_LOCAL_MAX_META_ROWS", 0)
+
+    calls = []
+
+    def fallback():
+        calls.append(1)
+        return qe.search_compressed(
+            spark, path, lexicon, doc_stats, stats, {"q": "alpha beta"},
+            cfg)
+
+    counters: dict = {}
+    got = pruning.search_pruned(
+        spark, path, lexicon, doc_stats, stats, {"q": "alpha beta"}, cfg,
+        len_lookup=norms, counters=counters, fallback=fallback,
+    ).collect()
+    assert calls == [1] and counters.get("aborted_to_fallback")
+    want = qe.search_compressed(
+        spark, path, lexicon, doc_stats, stats, {"q": "alpha beta"}, cfg,
+    ).collect()
+    assert _canon(got) == _canon(want)
+
+    # prunable shape through the same forced-distributed planner: no
+    # abort, pruning accounting intact, rank identity holds
+    rows2 = []
+    for d in range(2048):
+        words = ["common", "filler"]
+        if d < 64:
+            words += ["rare"] * 8
+        rows2.append((d, " ".join(words)))
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    postings2 = ib.build_postings(docs2)
+    doc_stats2 = ib.build_doc_stats(docs2, postings2)
+    stats2 = ib.corpus_stats(doc_stats2)
+    lexicon2 = ib.build_lexicon(postings2)
+    path2 = str(tmp_path / "didx2")
+    bc.write_index(bc.encode_index(postings2, cfg), path2)
+    norms2 = _norms_broadcast(spark, doc_stats2)
+    calls.clear()
+    counters2: dict = {}
+    got2 = pruning.search_pruned(
+        spark, path2, lexicon2, doc_stats2, stats2, {"q": "rare common"},
+        cfg, len_lookup=norms2, seed_segs=1, counters=counters2,
+        fallback=lambda: (_ for _ in ()).throw(AssertionError("aborted")),
+    ).collect()
+    assert calls == [] and not counters2.get("aborted_to_fallback")
+    assert counters2["survivor_blocks"] < counters2["exhaustive_blocks"] // 2
+    want2 = qe.search_compressed(
+        spark, path2, lexicon2, doc_stats2, stats2, {"q": "rare common"},
+        cfg).collect()
+    assert _canon(got2) == _canon(want2)
